@@ -1,0 +1,30 @@
+"""Bn128 production runtime — the analogue of the reference's `Bn128` class
+(src/bn128.js), minus the worker pool: parallelism lives inside jitted XLA
+programs and sharded meshes instead of postMessage workers.
+
+    rt = wasmsnark_tpu.build_bn128()
+    proof = rt.groth16_gen_proof(witness_bytes, pkey_bytes)
+    ok    = rt.groth16_verify(vk_json, public_inputs, proof_json)
+"""
+
+from __future__ import annotations
+
+from ..models.bn128 import bn128
+from .verifier import groth16_verify as _verify
+
+
+class Bn128Runtime:
+    def __init__(self):
+        self.module = bn128()
+
+    # -- prover (src/bn128.js:580-720) ---------------------------------------
+    def groth16_gen_proof(self, witness, pkey, *, rng=None):
+        """witness: bytes (flat LE 32B Fr values, tools/buildwitness.js
+        format) or list[int]; pkey: bytes in tools/buildpkey.js layout.
+        Returns {pi_a, pi_b, pi_c} with decimal-string coordinates."""
+        from .prover import groth16_gen_proof
+        return groth16_gen_proof(witness, pkey, rng=rng)
+
+    # -- verifier (src/bn128.js:722-791) --------------------------------------
+    def groth16_verify(self, verification_key, inputs, proof) -> bool:
+        return _verify(verification_key, inputs, proof)

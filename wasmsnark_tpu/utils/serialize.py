@@ -1,0 +1,113 @@
+"""Serialization helpers: bigint <-> bytes/limbs/JSON.
+
+Covers the reference's src/utils.js (bigInt2BytesLE, isOcamNum) and
+tools/stringifybigint.js (snarkjs-compatible decimal-string JSON).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_bytes_le(a: int, n: int) -> bytes:
+    return int(a).to_bytes(n, "little")
+
+
+def bytes_le_to_int(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def is_ocam_num(x) -> bool:
+    """Detect the Coda/OCaml `num` triple format [flag, [limbs...], ...]
+    (src/utils.js:42-49): a 3-element list whose first element is an int and
+    second is a list."""
+    return (
+        isinstance(x, list)
+        and len(x) == 3
+        and isinstance(x[0], (int, str))
+        and isinstance(x[1], list)
+    )
+
+
+def parse_bigint(x) -> int:
+    """Parse snarkjs-style decimal strings, ints, hex strings, or OCaml num
+    triples into a Python int."""
+    if isinstance(x, int):
+        return x
+    if isinstance(x, str):
+        s = x.strip()
+        if s.startswith("0x") or s.startswith("0X"):
+            return int(s, 16)
+        return int(s)
+    if is_ocam_num(x):
+        # [sign_flag, [u32 limbs little-endian], len]
+        limbs = x[1]
+        acc = 0
+        for i, l in enumerate(limbs):
+            acc |= int(l) << (24 * i)  # OCaml num uses 24-bit words in Coda dumps
+        return acc
+    raise TypeError(f"cannot parse bigint from {type(x)}")
+
+
+def stringify(x) -> str:
+    return str(int(x))
+
+
+# ---------------------------------------------------------------------------
+# numpy limb packing: python ints <-> uint32 [L, B] arrays (limb-major)
+# ---------------------------------------------------------------------------
+
+def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
+    """Pack an iterable of non-negative ints into a uint32 [n_limbs, B] array
+    of 16-bit limbs (limb-major so the batch axis rides TPU lanes)."""
+    values = list(values)
+    B = len(values)
+    out = np.empty((n_limbs, B), dtype=np.uint32)
+    for j, v in enumerate(values):
+        v = int(v)
+        for i in range(n_limbs):
+            out[i, j] = (v >> (LIMB_BITS * i)) & LIMB_MASK
+    return out
+
+
+def limbs_to_ints(arr) -> list[int]:
+    """Inverse of ints_to_limbs; accepts any uint integer array [L, B]."""
+    a = np.asarray(arr)
+    L, B = a.shape
+    out = []
+    for j in range(B):
+        acc = 0
+        for i in range(L):
+            acc |= int(a[i, j]) << (LIMB_BITS * i)
+        out.append(acc)
+    return out
+
+
+def bytes_to_limbs(data: bytes, elem_bytes: int, n_limbs: int) -> np.ndarray:
+    """Vectorized: flat little-endian fixed-width elements -> uint32 [L, B].
+
+    This is the hot host-side marshalling path (witness/pkey upload); uses
+    numpy reshape instead of per-int loops.  elem_bytes must be even.
+    """
+    assert len(data) % elem_bytes == 0
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, elem_bytes)
+    u16 = b[:, 0::2].astype(np.uint32) | (b[:, 1::2].astype(np.uint32) << 8)
+    B, halfwords = u16.shape
+    out = np.zeros((n_limbs, B), dtype=np.uint32)
+    k = min(halfwords, n_limbs)
+    out[:k] = u16[:, :k].T
+    return np.ascontiguousarray(out)
+
+
+def limbs_to_bytes(arr, elem_bytes: int) -> bytes:
+    """Inverse of bytes_to_limbs: uint32 [L, B] -> flat LE bytes."""
+    a = np.asarray(arr, dtype=np.uint32)
+    L, B = a.shape
+    u16 = a.T.astype(np.uint16)  # [B, L]
+    full = np.zeros((B, elem_bytes // 2), dtype=np.uint16)
+    k = min(L, elem_bytes // 2)
+    full[:, :k] = u16[:, :k]
+    return full.tobytes()
