@@ -97,7 +97,8 @@ class FieldSpec:
 
     @functools.cached_property
     def q_limbs(self) -> tuple[int, ...]:
-        return tuple(self.limbs(self.q))
+        # NOTE: not via self.limbs(), which canonicalizes mod q (q -> 0).
+        return tuple((self.q >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.n_limbs))
 
     def is_square(self, a: int) -> bool:
         """Euler criterion (reference f1m_isSquare, build_f1m.js:860-897)."""
