@@ -78,25 +78,27 @@ class FpDevice:
         final carry returned separately.
 
         Returns (limbs [L, *B] in [0, 2^16), carry_out [*B])."""
-        outs = []
-        c = jnp.zeros_like(x[0])
-        for i in range(self.L):
-            t = x[i] + c
-            outs.append(t & MASK)
-            c = t >> LIMB_BITS
-        return jnp.stack(outs), c
+
+        def step(c, row):
+            t = row + c
+            return t >> LIMB_BITS, t & MASK
+
+        c, outs = jax.lax.scan(step, jnp.zeros_like(x[0]), x)
+        return outs, c
 
     def _sub_limbs(self, x, y):
         """x - y with borrow chain; both normalized [L,*B].
         Returns (diff [L,*B], borrow_out [*B] in {0,1})."""
-        outs = []
-        b = jnp.zeros_like(x[0])
         lend = jnp.uint32(1 << LIMB_BITS)
-        for i in range(self.L):
-            d = x[i] + lend - y[i] - b
-            outs.append(d & MASK)
-            b = jnp.uint32(1) - (d >> LIMB_BITS)
-        return jnp.stack(outs), b
+
+        def step(b, xy):
+            xi, yi = xy
+            d = xi + lend - yi - b
+            return jnp.uint32(1) - (d >> LIMB_BITS), d & MASK
+
+        y = jnp.broadcast_to(y, x.shape)
+        b, outs = jax.lax.scan(step, jnp.zeros_like(x[0]), (x, y))
+        return outs, b
 
     def cond_sub_q(self, x):
         """x - q if x >= q else x (normalized input < 2^(16L))."""
@@ -122,19 +124,20 @@ class FpDevice:
         """(x - y) mod q.  Computes x + q - y (never underflows), then
         conditional subtract.  Mirrors f1m_sub (build_f1m.js:85-101)."""
         # limbwise x_i + q_i - y_i may underflow in uint32 when q_i < y_i;
-        # add a 2^16 lend per limb and track net carry/borrow explicitly:
+        # add a 2^16 lend per limb; d's top bits encode net carry + 1.
+        # carry state: keep top = (net carry + 1) as a biased value so it
+        # stays non-negative in uint32; applied next step as (top - 1).
         lend = jnp.uint32(1 << LIMB_BITS)
-        outs = []
-        c = jnp.zeros_like(x[0])  # signed-ish carry kept in uint32: c in {0,1}, means +c
-        borrow = jnp.zeros_like(x[0])
-        for i in range(self.L):
-            d = x[i] + self.q_limb(i) + lend - y[i] + c - borrow
-            outs.append(d & MASK)
-            # d in [1, 3*2^16): top bits encode net carry+1
-            top = d >> LIMB_BITS  # in {0,1,2}
-            c = jnp.where(top >= 2, jnp.uint32(1), jnp.uint32(0))
-            borrow = jnp.where(top == 0, jnp.uint32(1), jnp.uint32(0))
-        s = jnp.stack(outs)
+
+        def step(top_prev, xqy):
+            xi, qi, yi = xqy
+            d = xi + qi + (lend - jnp.uint32(1)) + top_prev - yi
+            return d >> LIMB_BITS, d & MASK
+
+        qb = self.q_limbs_like(x)
+        yb = jnp.broadcast_to(y, x.shape)
+        init = jnp.ones(x.shape[1:], U32)
+        _, s = jax.lax.scan(step, init, (x, qb, yb))
         return self.cond_sub_q(s)
 
     def q_limb(self, i):
@@ -148,39 +151,71 @@ class FpDevice:
 
     # -- Montgomery multiplication (the hot kernel) ---------------------------
 
+    def _product_columns(self, x, y):
+        """All partial products accumulated into 2L columns (deferred carry).
+
+        The anti-diagonal accumulation sum_{i+j=k} lo(x_i*y_j) is realized as
+        a Toeplitz shear: pad rows to width 2L, flatten, re-view with row
+        stride 2L-1 — pure reshapes (free in XLA) — then one sum over rows.
+        Out-of-band reads land in the previous row's zero padding.
+        """
+        L = self.L
+        bshape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
+        P = x[:, None] * y[None, :]            # [L, L, *B], exact 16x16->32
+        lo = P & MASK
+        hi = P >> LIMB_BITS
+
+        def shear_sum(A):
+            # A [L, L, *B] -> S [2L-1, *B], S[k] = sum_i A[i, k-i]
+            Ap = jnp.concatenate(
+                [A, jnp.zeros((L, L) + bshape, U32)], axis=1
+            )  # [L, 2L, *B]
+            flat = Ap.reshape((2 * L * L,) + bshape)
+            D = flat[: L * (2 * L - 1)].reshape((L, 2 * L - 1) + bshape)
+            return jnp.sum(D, axis=0, dtype=U32)
+
+        s_lo = shear_sum(lo)                   # columns 0 .. 2L-2
+        s_hi = shear_sum(hi)                   # columns 1 .. 2L-1 (offset 1)
+        z1 = jnp.zeros((1,) + bshape, U32)
+        acc = jnp.concatenate([s_lo, z1], axis=0) + jnp.concatenate([z1, s_hi], axis=0)
+        return acc                              # [2L, *B], columns < 2^21
+
     def mont_mul(self, x, y):
         """CIOS Montgomery product: returns x*y*R^{-1} mod q, canonical.
 
-        Semantics of f1m_mul (build_f1m.js:235-436) — fused product +
-        per-column reduction — re-derived for 16-bit limb planes with
-        deferred carries (see module docstring for bounds).
+        Semantics of f1m_mul (build_f1m.js:235-436) — product + per-column
+        reduction — re-derived for 16-bit limb planes with deferred carries
+        (see module docstring for bounds).  The product phase is one shear
+        gather + reduce; the inherently sequential reduction phase is a
+        lax.scan over limb index (body traced once — keeps composite kernels
+        like the MSM's scan combiners cheap to trace and compile).
         Supports broadcasting: y may be [L, 1] against x [L, B].
         """
         L = self.L
         x = jnp.asarray(x, U32)
         y = jnp.asarray(y, U32)
         bshape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
-        acc = jnp.zeros((2 * L + 1,) + bshape, dtype=U32)
+        acc = self._product_columns(x, y)       # [2L, *B]
+        # one zero guard row so the scan's (L+1)-row window fits at i = L-1
+        acc = jnp.concatenate([acc, jnp.zeros((1,) + bshape, U32)], axis=0)
         q = jnp.asarray(self.q_np).reshape((L,) + (1,) * len(bshape))
-        for i in range(L):
-            # product row i: x_i * y
-            p = x[i] * y                       # [L, *B], exact
-            lo = p & MASK
-            hi = p >> LIMB_BITS
-            acc = acc.at[i:i + L].add(lo)
-            acc = acc.at[i + 1:i + 1 + L].add(hi)
-            # reduction step i: m = acc_i * np16 mod 2^16 (wraparound-safe)
-            m = (acc[i] * self.np16) & MASK
-            pq = m * q                         # [L, *B], exact
-            acc = acc.at[i:i + L].add(pq & MASK)
-            acc = acc.at[i + 1:i + 1 + L].add(pq >> LIMB_BITS)
-            # acc_i is now ≡ 0 mod 2^16; push its carry and retire it
-            acc = acc.at[i + 1].add(acc[i] >> LIMB_BITS)
-        # result value = sum acc[L..2L] * 2^(16k) < 2q: normalize L+1 columns
+        zrow = jnp.zeros((1,) + bshape, U32)
+
+        def step(a, i):
+            win = jax.lax.dynamic_slice_in_dim(a, i, L + 1, axis=0)
+            m = (win[0] * self.np16) & MASK
+            pq = m[None] * q                    # [L, *B], exact
+            upd = (jnp.concatenate([pq & MASK, zrow], axis=0)
+                   + jnp.concatenate([zrow, pq >> LIMB_BITS], axis=0))
+            win = win + upd                     # win[0] now ≡ 0 mod 2^16
+            win = win.at[1].add(win[0] >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice_in_dim(a, win, i, axis=0), None
+
+        acc, _ = jax.lax.scan(step, acc, jnp.arange(L, dtype=jnp.int32))
+        # result value = sum acc[L..2L-1] * 2^(16k) < 2q (the top guard row
+        # and the final normalize carry are provably zero: n_limbs sizing
+        # gives bitlen(q) <= 16L - 1 so 2q < 2^(16L)).
         res, _carry = self.normalize(acc[L:2 * L])
-        # The Montgomery result is < 2q < 2^(16L) (n_limbs sizing guarantees
-        # bitlen(q) <= 16L - 1), so the carry out of limb L-1 plus acc[2L]
-        # is provably zero and dropped.
         return self.cond_sub_q(res)
 
     def mont_sqr(self, x):

@@ -1,0 +1,127 @@
+"""Multi-scalar multiplication (the prover's hot kernel) — TPU-native design.
+
+The reference's MSM (src/build_multiexp.js) uses a batched-window subset-sum
+scheme with lazily memoized tables and 256 per-bit accumulators — a
+depth-optimized design for a scalar machine with random access.  Neither
+memoized lookups nor data-dependent scatter vectorize on a TPU, so this is a
+**bucketed Pippenger re-design** (SURVEY.md §7 step 4) with the bucket
+accumulation expressed as sort + segmented scan, and with *all windows
+processed as one batch axis* so the whole MSM is a handful of large fused
+ops, not a loop:
+
+  * window width = 16 bits = the limb width, so the digit matrix is exactly
+    the scalar limb array [n_windows, N] — no recoding pass;
+  * one vectorized argsort sorts every window's digits at once; one gather
+    pulls points into [.., n_windows, N];
+  * one inclusive segmented scan (jax.lax.associative_scan, log-depth,
+    ~2N*W complete adds) turns equal-digit runs into running bucket sums;
+    the run ends are scattered (unique indices per window, flattened with a
+    per-window offset) into [.., n_windows, 2^16] bucket arrays;
+  * the triangle fold sum_b b*S_b = sum_{b'} suffix_sum(S)_{b'} is one more
+    batched associative scan over the bucket axis + a log tree reduce;
+  * window results fold with a fori_loop (16 doublings + 1 add per window),
+    traced once.
+
+Completeness: the group combiner is the branch-free complete add
+(ops/curve.py), so repeated points, zero points, inverse pairs, zero
+scalars, and unreduced 256-bit scalars (the reference's r/s randomization
+convention, src/bn128.js:642-704) are all handled per lane.
+
+Result equals g1m_multiexp2's group sum (test replays the
+test/bn128_prover.js:9-49 equivalence pattern against the oracle MSM).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .curve import JacobianDevice, map_leaf
+from .scan import seg_scan, prefix_scan, reduce_last
+from ..fields.spec import LIMB_BITS
+
+
+class MSMDevice:
+    def __init__(self, curve: JacobianDevice, window_bits: int = LIMB_BITS):
+        """window_bits must divide the 16-bit limb width (4, 8, or 16).
+        16 is the production choice at MSM sizes >= 2^16 (bucket-fold cost
+        amortizes); smaller windows shrink the bucket arrays for small/test
+        problems.  Analogue of the reference's tuned w=7 (src/bn128.js:109)."""
+        assert LIMB_BITS % window_bits == 0
+        self.curve = curve
+        self.c = window_bits
+
+    def _digits(self, scalar_limbs):
+        """[n_limbs, N] 16-bit limbs -> [n_windows, N] c-bit digits, LSB
+        window first."""
+        if self.c == LIMB_BITS:
+            return scalar_limbs
+        per = LIMB_BITS // self.c
+        mask = jnp.uint32((1 << self.c) - 1)
+        parts = [
+            (scalar_limbs >> (self.c * j)) & mask for j in range(per)
+        ]  # parts[j] :: [n_limbs, N]
+        # interleave: window index w = limb*per + j
+        return jnp.stack(parts, axis=1).reshape(-1, scalar_limbs.shape[-1])
+
+    def msm(self, scalar_limbs, points):
+        """scalar_limbs: uint32 [n_limbs, N] — the scalars' 16-bit limb
+        decomposition, LSB first.  points: (X, Y, Z) pytree, leaves
+        [..., N], Montgomery-form Jacobian.  Returns leaves [..., 1]."""
+        C = self.curve
+        d_all = self._digits(jnp.asarray(scalar_limbs, jnp.uint32))
+        W, N = d_all.shape
+        B = 1 << self.c  # buckets per window
+        scalar_limbs = d_all
+
+        # ---- 1. sort each window's digits; gather points per window ----
+        order = jnp.argsort(scalar_limbs, axis=-1)            # [W, N]
+        d = jnp.take_along_axis(scalar_limbs, order, axis=-1)  # [W, N]
+        p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))  # [.., W, N]
+
+        # ---- 2. segmented inclusive scan over the point axis ----
+        prev = jnp.concatenate(
+            [jnp.full((W, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
+        flags = d != prev                                      # [W, N]
+        summed = seg_scan(C, flags, p)
+
+        # ---- 3. scatter run totals into per-window bucket arrays ----
+        nxt = jnp.concatenate(
+            [d[:, 1:], jnp.full((W, 1), 0xFFFFFFFF, jnp.uint32)], axis=-1)
+        is_last = d != nxt
+        # flatten (window, bucket) -> window*(B+1) + bucket; non-last entries
+        # go to each window's trash slot (index B), sliced off after.
+        woff = jnp.arange(W, dtype=jnp.uint32)[:, None] * jnp.uint32(B + 1)
+        tgt = jnp.where(is_last, d, jnp.uint32(B)) + woff      # [W, N]
+        tgt = tgt.reshape(-1).astype(jnp.int32)
+
+        zero1 = C.zero_like(map_leaf(p, lambda a: a[..., :1, :1]))  # [..,1,1]
+
+        def scatter_leaf(zleaf, sleaf):
+            flat = jnp.broadcast_to(
+                zleaf[..., 0], zleaf.shape[:-2] + (W * (B + 1),))
+            flat = flat.at[..., tgt].set(
+                sleaf.reshape(sleaf.shape[:-2] + (W * N,)), mode="drop")
+            return flat.reshape(zleaf.shape[:-2] + (W, B + 1))[..., :B]
+
+        buckets = jax.tree.map(scatter_leaf, zero1, summed)     # [.., W, B]
+
+        # ---- 4. triangle fold: sum_{b>=1} b*S_b = sum suffix sums ----
+        rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])  # S_{B-1}..S_1
+        pref = prefix_scan(C, rev)                                # suffix sums
+        win = reduce_last(C, pref)                                # [.., W, 1]
+
+        # ---- 5. fold windows MSB->LSB: res = res*2^16 + win[w] ----
+        res = map_leaf(win, lambda a: a[..., W - 1, :])           # [.., 1]
+
+        def fold(i, r):
+            w = W - 2 - i
+            for _ in range(self.c):
+                r = C.double(r)
+            cur = map_leaf(
+                win, lambda a: jax.lax.dynamic_index_in_dim(
+                    a, w, axis=a.ndim - 2, keepdims=False))
+            return C.add(r, cur)
+
+        res = jax.lax.fori_loop(0, W - 1, fold, res)
+        return res
