@@ -15,7 +15,7 @@ from wasmsnark_tpu.models.bn128 import bn128, R
 from wasmsnark_tpu.ops.fp import FpDevice
 from wasmsnark_tpu.ops.towers import FpAdapter, F2Device
 from wasmsnark_tpu.ops.curve import JacobianDevice
-from wasmsnark_tpu.ops.msm import MSMDevice
+from wasmsnark_tpu.ops.msm import MSMDevice, fold_windows
 from wasmsnark_tpu.utils.serialize import ints_to_limbs
 
 m = bn128()
@@ -95,5 +95,6 @@ def test_g1_msm_vs_oracle(window_bits):
     S = jnp.asarray(ints_to_limbs(scalars, 16))
     P = pack_g1(pts)
     msm = MSMDevice(G1d, window_bits=window_bits)
-    got = unpack_g1(jax.jit(msm.msm)(S, P))[0]
+    win = unpack_g1(jax.jit(msm.msm)(S, P))
+    got = fold_windows(m.G1, win, window_bits)
     assert eq_or_zero(m.G1, m.G1.msm(pts, scalars), got)

@@ -1,0 +1,80 @@
+"""End-to-end Groth16: reference artifacts + own setup/prove/verify.
+
+Mirrors the reference's e2e layers (SURVEY.md §4): the verifier is checked
+against wasmsnark's committed real proof (example/bn128), and the prover is
+exercised on a generated circuit (the reference's own multi-MB pkey blobs
+are stripped from the snapshot — .MISSING_LARGE_BLOBS)."""
+
+import json
+import os
+
+import pytest
+
+import wasmsnark_tpu
+from wasmsnark_tpu.groth16.setup import square_chain_circuit, square_chain_witness, setup
+from wasmsnark_tpu.groth16.pkey import (
+    write_witness, parse_pkey, read_witness)
+from wasmsnark_tpu.models.bn128 import bn128
+
+REF = "/root/reference/example/bn128"
+
+
+@pytest.fixture(scope="module")
+def rt():
+    return wasmsnark_tpu.build_bn128()
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_verify_reference_proof(rt):
+    vk = json.load(open(f"{REF}/verification_key.json"))
+    pub = json.load(open(f"{REF}/public.json"))
+    proof = json.load(open(f"{REF}/proof_good.json"))
+    assert rt.groth16_verify(vk, pub, proof) is True
+    bad = json.loads(json.dumps(proof))
+    bad["pi_a"][0] = str(int(bad["pi_a"][0]) + 1)
+    assert rt.groth16_verify(vk, pub, bad) is False
+    assert rt.groth16_verify(vk, pub[:-1], proof) is False
+
+
+def test_pkey_roundtrip():
+    r1cs = square_chain_circuit(2)
+    pkey, vk, _ = setup(r1cs, seed=3)
+    m = bn128()
+    pk = parse_pkey(pkey, m.fp_spec, m.fr_spec)
+    assert pk.n_signals == r1cs.n_signals
+    assert pk.n_public == 1
+    assert pk.domain_size == 4
+    # alfa1 must be on the curve
+    x, y = pk.alfa1
+    assert (y * y - (x ** 3 + 3)) % m.F1.q == 0
+    # sparse LC round trip: polsA nnz == total constraint-A entries
+    assert len(pk.pols_a.sig_idx) == sum(
+        1 for _ in range(0)) + 2 + 2  # 2 square constraints + 2 binding rows
+
+
+def test_witness_roundtrip():
+    m = bn128()
+    wit = square_chain_witness(2, 9)
+    data = write_witness(wit, m.fr_spec)
+    arr = read_witness(data, m.fr_spec)
+    from wasmsnark_tpu.utils.serialize import limbs_to_ints
+    assert limbs_to_ints(arr) == [v % m.Fr.q for v in wit]
+
+
+def test_prove_and_verify_own_circuit(rt):
+    r1cs = square_chain_circuit(3)
+    pkey, vk, _ = setup(r1cs, seed=1)
+    wit = square_chain_witness(3, 5)
+    m = bn128()
+    proof = rt.groth16_gen_proof(write_witness(wit, m.fr_spec), pkey, rng=7)
+    pub = [str(wit[1])]
+    assert rt.groth16_verify(vk, pub, proof) is True
+    # zero randomness hook (reference debug convention, bn128.js:665-667)
+    proof0 = rt.groth16_gen_proof(write_witness(wit, m.fr_spec), pkey,
+                                  rng=lambda n: b"\0" * n)
+    assert rt.groth16_verify(vk, pub, proof0) is True
+    # invalid witness -> proof must not verify
+    bad = list(wit)
+    bad[3] += 1
+    pbad = rt.groth16_gen_proof(write_witness(bad, m.fr_spec), pkey, rng=7)
+    assert rt.groth16_verify(vk, pub, pbad) is False

@@ -16,4 +16,25 @@ Public API (mirrors the reference's index.js:20-22):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the framework's jitted programs (MSM
+# scans, NTT pipelines) are large one-time compiles keyed by shape — the
+# moral equivalent of the reference committing its generated WASM into
+# build/*_wasm.js so production never regenerates code (SURVEY.md §5
+# checkpoint/resume).  Opt out with WASMSNARK_TPU_NO_CACHE=1.
+if not _os.environ.get("WASMSNARK_TPU_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "WASMSNARK_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache_dir))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass
+
 from .api import build_bn128, build_f1, build_mnt6753  # noqa: F401

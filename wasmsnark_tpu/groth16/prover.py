@@ -1,0 +1,195 @@
+"""Groth16 prover for BN128 — the device pipeline of src/bn128.js:580-720.
+
+Stage map (reference -> here):
+
+  CALC_H worker command (bn128.js:126-166)   -> calc_h(): one jitted device
+    toMontgomeryN, pol_constructLC x2,          program: to_mont, two
+    ifft, fft(odd), interleave, mulN,           constructLC scatter kernels,
+    ifft(2N), fromMontgomeryN                   NTT pipeline on limb planes
+  5 x g1/g2_multiexp over worker pool        -> 5 MSMDevice calls (XLA
+    (bn128.js:607-622)                          overlaps them on-stream)
+  main-thread proof assembly                 -> host oracle group ops
+    (bn128.js:642-704)                          (a dozen scalar muls)
+
+Randomization parity: r and s are 32 *unreduced* random bytes and the
+r*s term uses their full 512-bit product (bn128.js:642-663, 700-702), so
+proofs are distribution-identical with wasmsnark's.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.bn128 import bn128
+from ..fields.spec import NTTSpec
+from ..ops.fp import FpDevice
+from ..ops.towers import FpAdapter, F2Device
+from ..ops.curve import JacobianDevice
+from ..ops.msm import MSMDevice
+from ..ops.ntt import NTTDevice
+from ..ops.pol import construct_lc
+from ..utils.serialize import bytes_le_to_int, limbs_to_ints
+from .pkey import parse_pkey, read_witness, ProvingKey
+
+
+class Groth16Prover:
+    """Holds device kernel objects + jit caches for one curve module."""
+
+    def __init__(self, msm_window_bits: int | None = None):
+        self.m = bn128()
+        self.Fp = FpDevice(self.m.fp_spec)
+        self.Fr = FpDevice(self.m.fr_spec)
+        self.ntt = NTTDevice(self.m.ntt_spec, self.Fr)
+        a1 = FpAdapter(self.Fp)
+        self.G1d = JacobianDevice(a1)
+        self.G2d = JacobianDevice(F2Device(a1, a1.neg))
+        self.window_bits = msm_window_bits
+        self._jit_cache = {}
+
+    def _msm(self, curve_key, scalars, points):
+        """Device window sums + host fold.  Window width scales with MSM size
+        (bucket-fold cost must amortize over N points — the analogue of the
+        reference's fixed w=7 tuning at src/bn128.js:109, picked per size).
+        Returns a host oracle Jacobian point."""
+        from ..ops.msm import fold_windows
+
+        n = scalars.shape[-1]
+        c = self.window_bits or (16 if n >= (1 << 16) else 8 if n >= (1 << 7) else 4)
+        key = ("msm", curve_key, c)
+        if key not in self._jit_cache:
+            dev = self.G1d if curve_key == "g1" else self.G2d
+            self._jit_cache[key] = jax.jit(MSMDevice(dev, window_bits=c).msm)
+        win = self._jit_cache[key](scalars, points)
+        if curve_key == "g1":
+            pts = self._g1_windows_host(win)
+            return fold_windows(self.m.G1, pts, c)
+        pts = self._g2_windows_host(win)
+        return fold_windows(self.m.G2, pts, c)
+
+    # -- CALC_H (device) ------------------------------------------------------
+
+    def calc_h(self, pk: ProvingKey, signals):
+        """signals: [L, nSignals] canonical limb planes.  Returns [L, domain]
+        canonical H coefficients (upper half of A*B)."""
+        key = ("calc_h", pk.domain_size, signals.shape)
+        if key not in self._jit_cache:
+            Fr, ntt = self.Fr, self.ntt
+            lc_a, lc_b = pk.pols_a, pk.pols_b
+
+            @jax.jit
+            def run(sig):
+                sig_m = Fr.to_mont(sig)
+                ea = construct_lc(Fr, lc_a, sig_m)
+                eb = construct_lc(Fr, lc_b, sig_m)
+                ca = ntt.ifft(ea)
+                cb = ntt.ifft(eb)
+                oa = ntt.fft(ca, odd=True)
+                ob = ntt.fft(cb, odd=True)
+                L, n = ea.shape
+                a2 = jnp.stack([ea, oa], axis=-1).reshape(L, 2 * n)
+                b2 = jnp.stack([eb, ob], axis=-1).reshape(L, 2 * n)
+                c2 = Fr.mont_mul(a2, b2)
+                cc = ntt.ifft(c2)
+                return Fr.from_mont(cc[:, n:])
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key](jnp.asarray(signals))
+
+    # -- proof ----------------------------------------------------------------
+
+    def prove(self, witness, pkey_bytes: bytes, rng=None) -> dict:
+        m = self.m
+        pk = parse_pkey(pkey_bytes, m.fp_spec, m.fr_spec)
+        if isinstance(witness, (bytes, bytearray)):
+            signals = read_witness(bytes(witness), m.fr_spec)
+        else:
+            from ..utils.serialize import ints_to_limbs
+            signals = ints_to_limbs([int(v) % m.Fr.q for v in witness],
+                                    m.fr_spec.n_limbs)
+        assert signals.shape[1] == pk.n_signals
+
+        h = np.asarray(self.calc_h(pk, signals))
+
+        sig_dev = jnp.asarray(signals)
+        pi_a = self._msm("g1", sig_dev, pk.points_a)
+        pib1 = self._msm("g1", sig_dev, pk.points_b1)
+        pi_b = self._msm("g2", sig_dev, pk.points_b2)
+        pi_c = self._msm("g1", sig_dev[:, pk.n_public + 1:], pk.points_c)
+        p_h = self._msm("g1", jnp.asarray(h), pk.h_exps)
+
+        # ---- randomized assembly (bn128.js:642-704) ----
+        G1, G2, F1 = m.G1, m.G2, m.F1
+        if rng is None:
+            rnd = os.urandom
+        elif callable(rng):
+            rnd = rng
+        else:
+            import random as _r
+            _rr = _r.Random(rng)
+            rnd = lambda n: _rr.randbytes(n)
+        r = bytes_le_to_int(rnd(32))
+        s = bytes_le_to_int(rnd(32))
+
+        alfa1 = G1.from_affine(*pk.alfa1)
+        beta1 = G1.from_affine(*pk.beta1)
+        delta1 = G1.from_affine(*pk.delta1)
+        beta2 = G2.from_affine(*pk.beta2)
+        delta2 = G2.from_affine(*pk.delta2)
+
+        pi_a = G1.add(pi_a, alfa1)
+        pi_a = G1.add(pi_a, G1.times_scalar(delta1, r))
+
+        pi_b = G2.add(pi_b, beta2)
+        pi_b = G2.add(pi_b, G2.times_scalar(delta2, s))
+
+        pib1 = G1.add(pib1, beta1)
+        pib1 = G1.add(pib1, G1.times_scalar(delta1, s))
+
+        pi_c = G1.add(pi_c, p_h)
+        pi_c = G1.add(pi_c, G1.times_scalar(pi_a, s))
+        pi_c = G1.add(pi_c, G1.times_scalar(pib1, r))
+        pi_c = G1.add(pi_c, G1.neg(G1.times_scalar(delta1, r * s)))
+
+        pa = G1.affine(pi_a)
+        pb = G2.affine(pi_b)
+        pc = G1.affine(pi_c)
+        return {
+            "pi_a": [str(pa[0]), str(pa[1]), str(pa[2])],
+            "pi_b": [[str(pb[0][0]), str(pb[0][1])],
+                     [str(pb[1][0]), str(pb[1][1])],
+                     [str(pb[2][0]), str(pb[2][1])]],
+            "pi_c": [str(pc[0]), str(pc[1]), str(pc[2])],
+            "protocol": "groth",
+        }
+
+    # -- device -> host point unmarshalling -----------------------------------
+
+    def _g1_windows_host(self, p):
+        F = self.Fp
+        xs = F.unpack_mont(np.asarray(p[0]))
+        ys = F.unpack_mont(np.asarray(p[1]))
+        zs = F.unpack_mont(np.asarray(p[2]))
+        return list(zip(xs, ys, zs))
+
+    def _g2_windows_host(self, p):
+        F = self.Fp
+        comps = [(F.unpack_mont(np.asarray(c[0])), F.unpack_mont(np.asarray(c[1])))
+                 for c in p]
+        nw = len(comps[0][0])
+        return [tuple((comps[i][0][w], comps[i][1][w]) for i in range(3))
+                for w in range(nw)]
+
+
+@functools.lru_cache(maxsize=4)
+def _prover(window_bits) -> Groth16Prover:
+    return Groth16Prover(window_bits)
+
+
+def groth16_gen_proof(witness, pkey, *, rng=None, msm_window_bits=None):
+    """Module-level entry used by Bn128Runtime.groth16_gen_proof."""
+    return _prover(msm_window_bits).prove(witness, pkey, rng=rng)

@@ -1,0 +1,163 @@
+"""Groth16 trusted setup (test/tooling use) for BN128 circuits.
+
+The reference consumes keys produced by old snarkjs ("groth" protocol) via
+tools/buildpkey.js; its committed multi-MB key blobs are stripped from the
+snapshot (.MISSING_LARGE_BLOBS), so e2e prover tests generate their own:
+an R1CS -> QAP-in-evaluation-basis -> pkey/vk pipeline compatible with the
+reference binary format and verifier equation.
+
+Conventions matched to the reference prover (src/bn128.js:580-720):
+  * polsA/polsB store the R1CS A/B matrix entries keyed by constraint index
+    (evaluation basis on the 2^k domain) — constructLC then yields A(x), B(x)
+    evaluations directly;
+  * H consumed by the prover is the upper coefficient half of A*B, which
+    equals (A*B - C)/Z for Z = x^N - 1 given A*B = C on the domain, so
+    hExps[j] = [tau^j * Z(tau) / delta] G1;
+  * like old snarkjs, one binding constraint (s_i)*(0) = 0 is appended per
+    public signal (including ONE) so public-input A-polynomials are nonzero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+
+from ..models.bn128 import bn128, R
+from .pkey import write_pkey, write_witness
+
+
+@dataclasses.dataclass
+class R1CS:
+    """Constraints as (A, B, C) dicts {signal_idx: Fr coef}; signal 0 is ONE."""
+    n_signals: int
+    n_public: int  # public *outputs/inputs* excluding ONE
+    constraints: list  # [(dictA, dictB, dictC)]
+
+
+def square_chain_circuit(k: int) -> R1CS:
+    """Prove knowledge of x with x^(2^k) = out.
+
+    signals: [1, out, x, s_1, ..., s_{k-1}]  (s_i = x^(2^i))
+    constraints: s_{i+1} = s_i * s_i  (the last one writes `out`).
+    """
+    n_signals = k + 2
+    cons = []
+    for i in range(k):
+        src = 2 if i == 0 else 2 + i
+        dst = 1 if i == k - 1 else 3 + i
+        cons.append(({src: 1}, {src: 1}, {dst: 1}))
+    return R1CS(n_signals=n_signals, n_public=1, constraints=cons)
+
+
+def square_chain_witness(r1cs_k: int, x: int):
+    s = [pow(x, 1 << i, R) for i in range(r1cs_k + 1)]
+    out = s[-1]
+    return [1, out, x % R] + s[1:-1]
+
+
+def setup(r1cs: R1CS, seed: int = 42):
+    """Run the trusted setup; returns (pkey_bytes, vk_dict, toxic) with the
+    toxic waste exposed for test assertions only."""
+    m = bn128()
+    rng = random.Random(seed)
+    Fr = m.Fr
+
+    # binding constraints for public signals (old snarkjs convention)
+    constraints = list(r1cs.constraints)
+    for i in range(r1cs.n_public + 1):
+        constraints.append(({i: 1}, {}, {}))
+    n_cons = len(constraints)
+    bits = max(1, (n_cons - 1).bit_length())
+    domain = 1 << bits
+    assert domain <= 1 << m.ntt_spec.max_bits
+
+    tau = rng.randrange(1, R)
+    alfa = rng.randrange(1, R)
+    beta = rng.randrange(1, R)
+    gamma = rng.randrange(1, R)
+    delta = rng.randrange(1, R)
+
+    # Lagrange values L_c(tau) = w^c (tau^N - 1) / (N (tau - w^c))
+    w = m.ntt_spec.roots[bits]
+    z_tau = (pow(tau, domain, R) - 1) % R
+    n_inv = pow(domain, -1, R)
+    lag = []
+    wc = 1
+    for c in range(n_cons):
+        lag.append(wc * z_tau % R * n_inv % R * pow((tau - wc) % R, -1, R) % R)
+        wc = wc * w % R
+
+    # QAP evaluations at tau per signal
+    a_tau = [0] * r1cs.n_signals
+    b_tau = [0] * r1cs.n_signals
+    c_tau = [0] * r1cs.n_signals
+    pols_a = [dict() for _ in range(r1cs.n_signals)]
+    pols_b = [dict() for _ in range(r1cs.n_signals)]
+    for cidx, (A, B, C) in enumerate(constraints):
+        for s, v in A.items():
+            a_tau[s] = (a_tau[s] + v * lag[cidx]) % R
+            pols_a[s][cidx] = v % R
+        for s, v in B.items():
+            b_tau[s] = (b_tau[s] + v * lag[cidx]) % R
+            pols_b[s][cidx] = v % R
+        for s, v in C.items():
+            c_tau[s] = (c_tau[s] + v * lag[cidx]) % R
+
+    G1, G2 = m.G1, m.G2
+    g1, g2 = m.g1_gen, m.g2_gen
+
+    def g1pt(k):
+        p = G1.times_scalar(g1, k % R)
+        return None if G1.is_zero(p) else G1.affine(p)[:2]
+
+    def g2pt(k):
+        p = G2.times_scalar(g2, k % R)
+        return None if G2.is_zero(p) else G2.affine(p)[:2]
+
+    dinv = pow(delta, -1, R)
+    ginv = pow(gamma, -1, R)
+
+    points_a = [g1pt(a_tau[i]) for i in range(r1cs.n_signals)]
+    points_b1 = [g1pt(b_tau[i]) for i in range(r1cs.n_signals)]
+    points_b2 = [g2pt(b_tau[i]) for i in range(r1cs.n_signals)]
+    points_c = [
+        g1pt((beta * a_tau[i] + alfa * b_tau[i] + c_tau[i]) % R * dinv % R)
+        for i in range(r1cs.n_public + 1, r1cs.n_signals)
+    ]
+    h_exps = [g1pt(pow(tau, j, R) * z_tau % R * dinv % R) for j in range(domain)]
+    ic = [
+        g1pt((beta * a_tau[i] + alfa * b_tau[i] + c_tau[i]) % R * ginv % R)
+        for i in range(r1cs.n_public + 1)
+    ]
+
+    pkey = write_pkey(
+        m.fp_spec, m.fr_spec,
+        n_public=r1cs.n_public, domain_size=domain,
+        alfa1=g1pt(alfa), beta1=g1pt(beta), delta1=g1pt(delta),
+        beta2=g2pt(beta), delta2=g2pt(delta),
+        pols_a=pols_a, pols_b=pols_b,
+        points_a=points_a, points_b1=points_b1, points_b2=points_b2,
+        points_c=points_c, h_exps=h_exps,
+    )
+
+    def g1_json(pt):
+        return [str(pt[0]), str(pt[1]), "1"] if pt else ["0", "1", "0"]
+
+    def g2_json(pt):
+        if not pt:
+            return [["0", "0"], ["1", "0"], ["0", "0"]]
+        return [[str(pt[0][0]), str(pt[0][1])],
+                [str(pt[1][0]), str(pt[1][1])],
+                ["1", "0"]]
+
+    vk = {
+        "protocol": "groth",
+        "nPublic": r1cs.n_public,
+        "vk_alfa_1": g1_json(g1pt(alfa)),
+        "vk_beta_2": g2_json(g2pt(beta)),
+        "vk_gamma_2": g2_json(g2pt(gamma)),
+        "vk_delta_2": g2_json(g2pt(delta)),
+        "IC": [g1_json(p) for p in ic],
+    }
+    toxic = dict(tau=tau, alfa=alfa, beta=beta, gamma=gamma, delta=delta)
+    return pkey, vk, toxic

@@ -106,6 +106,37 @@ class FpDevice:
         keep = (borrow != 0)  # borrow => x < q => keep x
         return jnp.where(keep[None, ...], x, d)
 
+    def _cond_sub_plane(self, x, plane_np):
+        d, borrow = self._sub_limbs(
+            x, jnp.broadcast_to(
+                jnp.asarray(plane_np).reshape((self.L,) + (1,) * (x.ndim - 1)),
+                x.shape))
+        return jnp.where((borrow != 0)[None, ...], x, d)
+
+    def reduce_wide_sum(self, acc):
+        """Reduce column-accumulated sums of Montgomery-form elements mod q.
+
+        acc: [L, *B] uint32 where column k holds the (un-carried) sum of up
+        to 2^16 16-bit limbs — i.e. the raw result of scatter-adding < 2^16
+        field elements limb-wise (used by pol_constructLC).  The represented
+        value is sum(acc_k 2^16k) < 2^16 * q * ... ; after carry
+        normalization it is lo + carry*2^(16L) with carry < 2^16.
+
+        carry*2^(16L) mod q = montmul(carry, R^2) since R = 2^(16L); lo is
+        brought below q by descending conditional subtracts of 2^j*q.
+        """
+        lo, carry = self.normalize(acc)
+        J = LIMB_BITS * self.L - self.spec.q.bit_length()
+        for j in range(J, -1, -1):
+            shifted = (self.spec.q << j)
+            plane = np.array(
+                [(shifted >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.L)],
+                dtype=np.uint32)[:, None]
+            lo = self._cond_sub_plane(lo, plane)
+        c_elem = jnp.zeros_like(lo).at[0].set(carry)
+        fold = self.mont_mul(c_elem, jnp.asarray(self.r2_np))
+        return self.add(lo, fold)
+
     def q_limbs_like(self, x):
         q = jnp.asarray(self.q_np)
         return jnp.broadcast_to(q.reshape((self.L,) + (1,) * (x.ndim - 1)), x.shape)

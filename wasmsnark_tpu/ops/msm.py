@@ -67,7 +67,9 @@ class MSMDevice:
     def msm(self, scalar_limbs, points):
         """scalar_limbs: uint32 [n_limbs, N] — the scalars' 16-bit limb
         decomposition, LSB first.  points: (X, Y, Z) pytree, leaves
-        [..., N], Montgomery-form Jacobian.  Returns leaves [..., 1]."""
+        [..., N], Montgomery-form Jacobian.  Returns per-window sums,
+        leaves [..., n_windows] (LSB window first) — fold with
+        fold_windows() on the host."""
         C = self.curve
         d_all = self._digits(jnp.asarray(scalar_limbs, jnp.uint32))
         W, N = d_all.shape
@@ -110,18 +112,18 @@ class MSMDevice:
         rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])  # S_{B-1}..S_1
         pref = prefix_scan(C, rev)                                # suffix sums
         win = reduce_last(C, pref)                                # [.., W, 1]
+        # Window sums [.., W] are returned; the final MSB->LSB fold
+        # (c doublings + 1 add per window, batch-1 work) belongs on the host
+        # — the reference likewise folds tiny sequential tails on the main
+        # thread while workers do the wide work (src/bn128.js:374-380).
+        return map_leaf(win, lambda a: a[..., 0])
 
-        # ---- 5. fold windows MSB->LSB: res = res*2^16 + win[w] ----
-        res = map_leaf(win, lambda a: a[..., W - 1, :])           # [.., 1]
 
-        def fold(i, r):
-            w = W - 2 - i
-            for _ in range(self.c):
-                r = C.double(r)
-            cur = map_leaf(
-                win, lambda a: jax.lax.dynamic_index_in_dim(
-                    a, w, axis=a.ndim - 2, keepdims=False))
-            return C.add(r, cur)
-
-        res = jax.lax.fori_loop(0, W - 1, fold, res)
-        return res
+def fold_windows(oracle_curve, window_points, window_bits: int):
+    """Host-side MSB->LSB fold of per-window sums (oracle bigint points)."""
+    res = oracle_curve.zero()
+    for p in reversed(window_points):
+        for _ in range(window_bits):
+            res = oracle_curve.double(res)
+        res = oracle_curve.add(res, p)
+    return res

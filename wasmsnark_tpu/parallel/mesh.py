@@ -1,0 +1,71 @@
+"""Multi-chip sharding — the TPU-native replacement for the worker pool.
+
+The reference's entire distribution story is: split MSM points into
+contiguous chunks, one postMessage per worker, linear reduce of partial sums
+on the main thread (src/bn128.js:353-415), plus task-parallel protocol steps
+over the same pool.  Here the same dataflow is a single SPMD program:
+
+  * MSM: shard_map over a "points" mesh axis — every device runs the full
+    bucketed Pippenger on its shard (ops/msm.py), then one all_gather of the
+    per-device partial sums (3 field elements each — bytes, not buffers) and
+    a replicated fold.  This is communication-optimal: points never move,
+    only 96/192-byte partials ride ICI, exactly like the reference's
+    transferable-ArrayBuffer partials but without a host hop.
+  * NTT / elementwise pipelines: annotate the domain axis with a sharding
+    and let XLA GSPMD insert the all-to-alls between butterfly super-stages
+    (SURVEY.md §2.5's "domain-axis sharding").
+
+No failure handling is lost relative to the reference: it had none
+(TERMINATE = process.exit, bn128.js:167).  SPMD scheduling is static in the
+compiled program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.curve import JacobianDevice, map_leaf
+from ..ops.msm import MSMDevice
+from ..ops.scan import reduce_last
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def msm_sharded(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
+    """Returns a jitted sharded MSM: scalars [Lr, N], points leaves [.., N]
+    sharded along N; result = per-window sums, leaves [.., n_windows],
+    replicated (fold with ops.msm.fold_windows on the host).
+
+    Per-device partial *window sums* ride ICI (n_windows points each — a few
+    KB), the points never move: the same dataflow as the reference's
+    chunk-per-worker + partial reduce (src/bn128.js:353-415), minus the host
+    relay.  N must be divisible by the mesh size (pad with zero scalars —
+    digit-0 buckets carry weight 0)."""
+    C = msm.curve
+
+    def local(scalars, points):
+        win = msm.msm(scalars, points)           # leaves [.., W]
+        # gather partials: [.., W, D], then fold over devices
+        gath = map_leaf(
+            win, lambda a: jax.lax.all_gather(a, axis, axis=a.ndim))
+        red = reduce_last(C, gath)               # [.., W, 1]
+        return map_leaf(red, lambda a: a[..., 0])
+
+    def build(scalars, points):
+        pt_specs = map_leaf(points, lambda a: P(*([None] * (a.ndim - 1) + [axis])))
+        return shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, axis), pt_specs),
+            out_specs=map_leaf(points, lambda a: P(*([None] * a.ndim))),
+            check_rep=False,
+        )(scalars, points)
+
+    return jax.jit(build)
