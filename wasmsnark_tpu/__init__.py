@@ -12,6 +12,7 @@ Public API (mirrors the reference's index.js:20-22):
     build_bn128()    -> Bn128Runtime   (groth16_gen_proof / groth16_verify)
     build_f1(q)      -> F1Runtime      (single-field arithmetic runtime)
     build_mnt6753()  -> Mnt6753Runtime (Bowe-Gabizon verifier)
+    build_bls12381() -> Bls12381       (field/curve/pairing module)
 """
 
 __version__ = "0.1.0"
@@ -37,4 +38,4 @@ if not _os.environ.get("WASMSNARK_TPU_NO_CACHE"):
     except Exception:  # pragma: no cover - older jax without these flags
         pass
 
-from .api import build_bn128, build_f1, build_mnt6753  # noqa: F401
+from .api import build_bn128, build_f1, build_mnt6753, build_bls12381  # noqa: F401

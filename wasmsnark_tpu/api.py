@@ -29,3 +29,11 @@ def build_f1(q: int):
 def build_mnt6753():
     from .models.mnt6753_runtime import Mnt6753Runtime
     return Mnt6753Runtime()
+
+
+def build_bls12381():
+    """BLS12-381 module (field/curve/pairing stack).  The reference builds
+    the full bls12381 WASM module but wires no prover runtime for it
+    (SURVEY.md §2.2) — exposed here as the assembled curve module."""
+    from .models.bls12381 import bls12381
+    return bls12381()

@@ -125,9 +125,10 @@ class FieldSpec:
         return s, t, pow(nqr, t, q), nqr
 
     def sqrt(self, a: int) -> int | None:
-        """Tonelli-Shanks square root, sign-normalized like the reference
-        (f1m_sqrt returns the root whose canonical form is <= (q-1)/2,
-        build_f1m.js:809-858)."""
+        """Tonelli-Shanks square root, sign-normalized like the reference:
+        f1m_sqrt negates the root when f1m_isNegative(R) — and f1m's
+        isNegative is the **LSB of the canonical form** (build_f1m.js:133-149),
+        so the returned root always has an even canonical value."""
         q = self.q
         a %= q
         if a == 0:
@@ -146,10 +147,11 @@ class FieldSpec:
                 bb = bb * bb % q
                 i += 1
             e = pow(c, 1 << (m - i - 1), q)
+            c = e * e % q
             u = u * e % q
-            b = b * e % q * e % q
+            b = b * c % q
             m = i
-        if u > self.half:
+        if u & 1:  # f1m_isNegative = LSB of canonical form
             u = q - u
         return u
 

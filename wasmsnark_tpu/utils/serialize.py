@@ -21,20 +21,26 @@ def bytes_le_to_int(b: bytes) -> int:
 
 
 def is_ocam_num(x) -> bool:
-    """Detect the Coda/OCaml `num` triple format [flag, [limbs...], ...]
-    (src/utils.js:42-49): a 3-element list whose first element is an int and
-    second is a list."""
+    """Detect the Coda/OCaml `num` triple format [num, num, [u32 limbs...]]
+    (src/utils.js:42-49): a 3-element list, first two elements numbers, third
+    a list of 32-bit words."""
     return (
         isinstance(x, list)
         and len(x) == 3
-        and isinstance(x[0], (int, str))
-        and isinstance(x[1], list)
+        and isinstance(x[0], (int, float))
+        and isinstance(x[1], (int, float))
+        and isinstance(x[2], list)
     )
 
 
 def parse_bigint(x) -> int:
     """Parse snarkjs-style decimal strings, ints, hex strings, or OCaml num
-    triples into a Python int."""
+    triples into a Python int.
+
+    OCaml num semantics mirror src/mnt6753.js:492-513 (setF1): the third
+    element is a little-endian u32 word list; trailing negative words are
+    padding and stripped; remaining words coerce mod 2^32.
+    """
     if isinstance(x, int):
         return x
     if isinstance(x, str):
@@ -43,11 +49,12 @@ def parse_bigint(x) -> int:
             return int(s, 16)
         return int(s)
     if is_ocam_num(x):
-        # [sign_flag, [u32 limbs little-endian], len]
-        limbs = x[1]
+        limbs = list(x[2])
+        while limbs and limbs[-1] < 0:
+            limbs.pop()
         acc = 0
         for i, l in enumerate(limbs):
-            acc |= int(l) << (24 * i)  # OCaml num uses 24-bit words in Coda dumps
+            acc |= (int(l) & 0xFFFFFFFF) << (32 * i)
         return acc
     raise TypeError(f"cannot parse bigint from {type(x)}")
 
