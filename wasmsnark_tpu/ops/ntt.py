@@ -102,9 +102,14 @@ class NTTDevice:
             u = xv[:, :, 0, :]
             v = xv[:, :, 1, :]
             tw = jnp.asarray(tabs[s - 1])[:, None, :]  # [L, 1, half]
-            t = self.F.mont_mul(v, tw)
-            x0 = self.F.add(u, t)
-            x1 = self.F.sub(u, t)
+            from .fp import _use_pallas
+            if _use_pallas():
+                from .fp_pallas import butterfly_pallas
+                x0, x1 = butterfly_pallas(self.field, u, v, tw)
+            else:
+                t = self.F.mont_mul(v, tw)
+                x0 = self.F.add(u, t)
+                x1 = self.F.sub(u, t)
             x = jnp.stack([x0, x1], axis=2).reshape(L, n)
         return x
 

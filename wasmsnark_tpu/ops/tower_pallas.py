@@ -1,0 +1,244 @@
+"""Fused extension-tower and Miller-step Pallas kernels (BN128).
+
+One F12 multiply composed from per-op kernels is ~54 separate Montgomery-mul
+dispatches; the XLA graph of a full Miller loop + final exponentiation built
+that way takes tens of minutes to compile and is HBM-bound at run time.
+These kernels fuse whole tower operations (F12 mul/square) and whole Miller
+steps (doubling / mixed-add with line evaluation) into single VMEM programs:
+the scan bodies of ops/pairing.py become a handful of kernel calls.
+
+The tower math inside each kernel is built by the *same* composition classes
+(towers.F2Device / F3Device) over fp_pallas.ValAdapter — kernel and
+composed-op paths share one implementation of the Karatsuba/CH-SQR formulas,
+mirroring the reference's single tower codegen reused per prefix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fields.spec import FieldSpec
+from .fp_pallas import ValAdapter, TILE_B
+from .towers import F2Device, F3Device
+
+# F12 leaf order: ((c00, c01), (c10, c11), (c20, c21)) x 2  -> 12 planes
+N12 = 12
+
+
+def _bn128_towers(L, np16, q_limbs):
+    """ValAdapter-based F2/F6/F12 towers for BN128 (xi = 9 + u)."""
+    base = ValAdapter(L, np16, q_limbs)
+    F2 = F2Device(base, base.neg)
+
+    def mul_xi(a):
+        return (base.sub(base.mul_small(a[0], 9), a[1]),
+                base.add(a[0], base.mul_small(a[1], 9)))
+
+    F6 = F3Device(F2, mul_xi)
+
+    def mul_nr12(a):
+        return (mul_xi(a[2]), a[0], a[1])
+
+    F12 = F2Device(F6, mul_nr12)
+    return base, F2, F6, F12
+
+
+def _flatten12(el):
+    out = []
+
+    def rec(x):
+        if isinstance(x, tuple):
+            for c in x:
+                rec(c)
+        else:
+            out.append(x)
+
+    rec(el)
+    return out
+
+
+def _unflatten12(flat):
+    i = iter(flat)
+    return tuple(
+        tuple((next(i), next(i)) for _ in range(3)) for _ in range(2))
+
+
+def _f12_mul_kernel(L, np16, q_limbs, square, *refs):
+    _, _, _, F12 = _bn128_towers(L, np16, q_limbs)
+    if square:
+        a = _unflatten12([r[:] for r in refs[:N12]])
+        out = F12.square(a)
+        outs = refs[N12:]
+    else:
+        a = _unflatten12([r[:] for r in refs[:N12]])
+        b = _unflatten12([r[:] for r in refs[N12:2 * N12]])
+        out = F12.mul(a, b)
+        outs = refs[2 * N12:]
+    for r, v in zip(outs, _flatten12(out)):
+        r[:] = v
+
+
+def _miller_dbl_kernel(L, np16, q_limbs, *refs):
+    """In: X,Y,Z (6 planes, F2 homogeneous twist coords), xP, yP (2 planes).
+    Out: sparse line (a0, b0, b1 -> 6 planes) + new X,Y,Z (6 planes).
+
+    Formulas validated against the oracle pairing (ops/pairing.py doc)."""
+    base, F2, _, _ = _bn128_towers(L, np16, q_limbs)
+    X = (refs[0][:], refs[1][:])
+    Y = (refs[2][:], refs[3][:])
+    Z = (refs[4][:], refs[5][:])
+    xP = refs[6][:]
+    yP = refs[7][:]
+
+    X2 = F2.square(X); Y2 = F2.square(Y); Z2 = F2.square(Z)
+    Y2Z = F2.mul(Y2, Z)
+    YZ2 = F2.mul(Y, Z2)
+    a0 = F2.mul_base(F2.add(YZ2, YZ2), yP)
+    b0 = F2.mul_base(F2.neg(F2.mul_small(F2.mul(X2, Z), 3)), xP)
+    X3c = F2.mul(X2, X)
+    b1 = F2.sub(F2.mul_small(X3c, 3), F2.mul_small(Y2Z, 2))
+    X4 = F2.square(X2)
+    t1 = F2.sub(F2.mul_small(X4, 9), F2.mul_small(F2.mul(X, Y2Z), 8))
+    Xn = F2.mul(F2.mul_small(F2.mul(Y, Z), 2), t1)
+    Yn = F2.sub(
+        F2.sub(F2.mul_small(F2.mul(X3c, Y2Z), 36),
+               F2.mul_small(F2.mul(X4, X2), 27)),
+        F2.mul_small(F2.square(Y2Z), 8))
+    Zn = F2.mul_small(F2.mul(F2.mul(Y2, Y), F2.mul(Z2, Z)), 8)
+
+    outs = refs[8:]
+    for r, v in zip(outs, [a0[0], a0[1], b0[0], b0[1], b1[0], b1[1],
+                           Xn[0], Xn[1], Yn[0], Yn[1], Zn[0], Zn[1]]):
+        r[:] = v
+
+
+def _miller_add_kernel(L, np16, q_limbs, *refs):
+    """In: X,Y,Z (6), x2,y2 (4, F2 affine), xP,yP (2).
+    Out: sparse line (6) + new X,Y,Z (6)."""
+    base, F2, _, _ = _bn128_towers(L, np16, q_limbs)
+    X = (refs[0][:], refs[1][:])
+    Y = (refs[2][:], refs[3][:])
+    Z = (refs[4][:], refs[5][:])
+    x2 = (refs[6][:], refs[7][:])
+    y2 = (refs[8][:], refs[9][:])
+    xP = refs[10][:]
+    yP = refs[11][:]
+
+    th = F2.sub(F2.mul(y2, Z), Y)
+    lm = F2.sub(F2.mul(x2, Z), X)
+    a0 = F2.mul_base(lm, yP)
+    b0 = F2.mul_base(F2.neg(th), xP)
+    b1 = F2.sub(F2.mul(th, x2), F2.mul(lm, y2))
+    C = F2.square(th); D = F2.square(lm); E = F2.mul(lm, D)
+    Fv = F2.mul(Z, C); G = F2.mul(X, D)
+    H = F2.sub(F2.sub(Fv, F2.mul_small(G, 2)), E)
+    Xn = F2.mul(lm, H)
+    Yn = F2.sub(F2.mul(th, F2.sub(G, H)), F2.mul(E, Y))
+    Zn = F2.mul(Z, E)
+
+    outs = refs[12:]
+    for r, v in zip(outs, [a0[0], a0[1], b0[0], b0[1], b1[0], b1[1],
+                           Xn[0], Xn[1], Yn[0], Yn[1], Zn[0], Zn[1]]):
+        r[:] = v
+
+
+# kernels are heavy; narrow lane tile keeps VMEM in budget
+TOWER_TILE_B = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _tower_call(spec: FieldSpec, kind: str):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    if kind == "f12mul":
+        kern = functools.partial(_f12_mul_kernel, L, spec.np16, spec.q_limbs,
+                                 False)
+        n_in, n_out = 24, 12
+    elif kind == "f12sqr":
+        kern = functools.partial(_f12_mul_kernel, L, spec.np16, spec.q_limbs,
+                                 True)
+        n_in, n_out = 12, 12
+    elif kind == "mdbl":
+        kern = functools.partial(_miller_dbl_kernel, L, spec.np16,
+                                 spec.q_limbs)
+        n_in, n_out = 8, 12
+    elif kind == "madd":
+        kern = functools.partial(_miller_add_kernel, L, spec.np16,
+                                 spec.q_limbs)
+        n_in, n_out = 12, 12
+    else:  # pragma: no cover
+        raise ValueError(kind)
+
+    def run(*arrs):
+        B8 = arrs[0].shape[2]
+        t8 = TOWER_TILE_B // 8
+        grid = (B8 // t8,) if B8 >= t8 else (1,)
+        tile = t8 if B8 >= t8 else B8
+        spec_ = pl.BlockSpec((L, 8, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[spec_] * n_in,
+            out_specs=(spec_,) * n_out,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((L, 8, B8), jnp.uint32)
+                for _ in range(n_out)),
+        )(*arrs)
+
+    return run
+
+
+def _dispatch(spec: FieldSpec, kind: str, arrays):
+    """arrays: flat list of [L, *B] planes (same bshape)."""
+    L = spec.n_limbs
+    bshape = arrays[0].shape[1:]
+    B = int(np.prod(bshape)) if bshape else 1
+    step = TOWER_TILE_B if B >= TOWER_TILE_B else 1024
+    pad = (-B) % step
+    flat = []
+    for c in arrays:
+        c = jnp.broadcast_to(c, (L,) + bshape).reshape(L, B)
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, pad)))
+        flat.append(c.reshape(L, 8, (B + pad) // 8))
+    outs = _tower_call(spec, kind)(*flat)
+    res = []
+    for o in outs:
+        o = o.reshape(L, B + pad)
+        if pad:
+            o = o[:, :B]
+        res.append(o.reshape((L,) + bshape))
+    return res
+
+
+def f12_mul_pallas(spec, a, b):
+    out = _dispatch(spec, "f12mul", _flatten12(a) + _flatten12(b))
+    return _unflatten12(out)
+
+
+def f12_sqr_pallas(spec, a):
+    return _unflatten12(_dispatch(spec, "f12sqr", _flatten12(a)))
+
+
+def miller_dbl_pallas(spec, X, Y, Z, xP, yP):
+    out = _dispatch(spec, "mdbl",
+                    [X[0], X[1], Y[0], Y[1], Z[0], Z[1], xP, yP])
+    a0, b0, b1 = (out[0], out[1]), (out[2], out[3]), (out[4], out[5])
+    Xn, Yn, Zn = (out[6], out[7]), (out[8], out[9]), (out[10], out[11])
+    return (a0, b0, b1), Xn, Yn, Zn
+
+
+def miller_add_pallas(spec, X, Y, Z, x2, y2, xP, yP):
+    out = _dispatch(spec, "madd",
+                    [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
+                     x2[0], x2[1], y2[0], y2[1], xP, yP])
+    a0, b0, b1 = (out[0], out[1]), (out[2], out[3]), (out[4], out[5])
+    Xn, Yn, Zn = (out[6], out[7]), (out[8], out[9]), (out[10], out[11])
+    return (a0, b0, b1), Xn, Yn, Zn

@@ -97,9 +97,14 @@ def bytes_to_limbs(data: bytes, elem_bytes: int, n_limbs: int) -> np.ndarray:
     """Vectorized: flat little-endian fixed-width elements -> uint32 [L, B].
 
     This is the hot host-side marshalling path (witness/pkey upload); uses
-    numpy reshape instead of per-int loops.  elem_bytes must be even.
+    the native C++ marshal library (csrc/marshal.cpp) when built, else a
+    numpy reshape.  elem_bytes must be even.
     """
     assert len(data) % elem_bytes == 0
+    from . import native
+    out = native.bytes_to_planes(data, elem_bytes, n_limbs)
+    if out is not None:
+        return out
     b = np.frombuffer(data, dtype=np.uint8).reshape(-1, elem_bytes)
     u16 = b[:, 0::2].astype(np.uint32) | (b[:, 1::2].astype(np.uint32) << 8)
     B, halfwords = u16.shape
@@ -111,6 +116,10 @@ def bytes_to_limbs(data: bytes, elem_bytes: int, n_limbs: int) -> np.ndarray:
 
 def limbs_to_bytes(arr, elem_bytes: int) -> bytes:
     """Inverse of bytes_to_limbs: uint32 [L, B] -> flat LE bytes."""
+    from . import native
+    out = native.planes_to_bytes(arr, elem_bytes)
+    if out is not None:
+        return out
     a = np.asarray(arr, dtype=np.uint32)
     L, B = a.shape
     u16 = a.T.astype(np.uint16)  # [B, L]
