@@ -36,7 +36,7 @@ def main():
     from wasmsnark_tpu.utils.serialize import ints_to_limbs
 
     bits = int(os.environ.get("BENCH_MSM_BITS", "18"))
-    wbits = int(os.environ.get("BENCH_WINDOW_BITS", "16"))
+    wbits = int(os.environ.get("BENCH_WINDOW_BITS", "12"))
     n = 1 << bits
 
     m = bn128()

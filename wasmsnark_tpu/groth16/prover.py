@@ -59,7 +59,7 @@ class Groth16Prover:
         from ..ops.msm import fold_windows
 
         n = scalars.shape[-1]
-        c = self.window_bits or (16 if n >= (1 << 16) else 8 if n >= (1 << 7) else 4)
+        c = self.window_bits or (12 if n >= (1 << 14) else 8 if n >= (1 << 7) else 4)
         key = ("msm", curve_key, c)
         if key not in self._jit_cache:
             dev = self.G1d if curve_key == "g1" else self.G2d

@@ -352,3 +352,125 @@ class FpDevice:
 @functools.lru_cache(maxsize=None)
 def fp_device(spec: FieldSpec) -> FpDevice:
     return FpDevice(spec)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-scalar ops (per-lane exponents): f1m_exp / timesScalar parity
+# ---------------------------------------------------------------------------
+
+def _scalar_bits_msb(scalar_limbs, n_bits):
+    """[Ls, *B] 16-bit limb planes -> iterator spec for an MSB-first ladder:
+    returns uint32 [n_bits, *B] bit array."""
+    import jax.numpy as jnp
+    Ls = scalar_limbs.shape[0]
+    rows = []
+    for k in range(n_bits - 1, -1, -1):
+        li, off = k // LIMB_BITS, k % LIMB_BITS
+        if li < Ls:
+            rows.append((scalar_limbs[li] >> off) & jnp.uint32(1))
+        else:
+            rows.append(jnp.zeros_like(scalar_limbs[0]))
+    return jnp.stack(rows, axis=0)
+
+
+class FpDynamic:
+    """Per-lane dynamic exponentiation on an FpDevice — the batched analogue
+    of f1m_exp (build_f1m.js:1015-1023 via the shared ladder,
+    build_timesscalar.js): every lane carries its own exponent."""
+
+    def __init__(self, fp: FpDevice):
+        self.fp = fp
+
+    def exp(self, x, exp_limbs, n_bits=None):
+        """x [L, *B] Montgomery; exp_limbs [Ls, *B] 16-bit planes (canonical
+        scalars).  Returns x^e per lane (Montgomery)."""
+        F = self.fp
+        n_bits = n_bits or exp_limbs.shape[0] * LIMB_BITS
+        bits = _scalar_bits_msb(jnp.asarray(exp_limbs, U32), n_bits)
+        r = jnp.broadcast_to(
+            jnp.asarray(F.one_mont_np).reshape((F.L,) + (1,) * (x.ndim - 1)),
+            x.shape).astype(U32)
+
+        def body(r, bit):
+            r = F.mont_sqr(r)
+            rm = F.mont_mul(r, x)
+            return F.select(bit != 0, rm, r), None
+
+        r, _ = jax.lax.scan(body, r, bits)
+        return r
+
+
+def times_scalar_device(curve, points, scalar_limbs, n_bits=None):
+    """Batched double-and-add scalar multiplication: every lane multiplies
+    its point by its own scalar (g1m_timesScalar semantics,
+    build_timesscalar.js, complete group law so all edge cases fold in).
+
+    points: (X, Y, Z) leaves [.., *B]; scalar_limbs: [Ls, *B]."""
+    n_bits = n_bits or scalar_limbs.shape[0] * LIMB_BITS
+    bits = _scalar_bits_msb(jnp.asarray(scalar_limbs, U32), n_bits)
+    acc = curve.zero_like(points)
+
+    def body(acc, bit):
+        acc = curve.double(acc)
+        added = curve.add(acc, points)
+        return curve.select(bit != 0, added, acc), None
+
+    acc, _ = jax.lax.scan(body, acc, bits)
+    return acc
+
+
+class FpSqrt:
+    """Batched Tonelli-Shanks square root + Euler criterion on device —
+    f1m_sqrt / f1m_isSquare parity (build_f1m.js:809-897), branch-free:
+    the reference's data-dependent while loop becomes a fixed s-1 round
+    ladder with per-lane masked updates (uniform Tonelli).
+
+    Sign normalization matches f1m_sqrt: the returned root has an even
+    canonical value (f1m_isNegative = LSB, build_f1m.js:133-149)."""
+
+    def __init__(self, fp: FpDevice):
+        self.fp = fp
+        s, t, z, nqr = fp.spec._tonelli
+        self.s, self.t = s, t
+        # c0 = nqr^t in Montgomery form
+        self.c0_np = fp.pack_mont([z])
+
+    def is_square(self, x):
+        """Euler criterion on Montgomery-form x: mask [*B] (0 counts as
+        square, like the reference returning early for 0)."""
+        F = self.fp
+        e = (F.spec.q - 1) // 2
+        p = F.mont_pow_const(x, e)
+        one = jnp.broadcast_to(
+            jnp.asarray(F.one_mont_np).reshape((F.L,) + (1,) * (x.ndim - 1)),
+            x.shape).astype(U32)
+        return F.eq(p, one) | F.is_zero(x)
+
+    def sqrt(self, x):
+        """Square root of Montgomery-form x (valid where is_square; garbage
+        lanes elsewhere — callers mask).  Returns Montgomery form."""
+        F = self.fp
+        s, t = self.s, self.t
+        r = F.mont_pow_const(x, (t + 1) // 2)
+        b = F.mont_pow_const(x, t)
+        c = jnp.broadcast_to(
+            jnp.asarray(self.c0_np).reshape((F.L,) + (1,) * (x.ndim - 1)),
+            x.shape).astype(U32)
+        one = jnp.broadcast_to(
+            jnp.asarray(F.one_mont_np).reshape((F.L,) + (1,) * (x.ndim - 1)),
+            x.shape).astype(U32)
+        for i in range(s - 2, -1, -1):
+            d = b
+            for _ in range(i):
+                d = F.mont_sqr(d)
+            not_one = ~F.eq(d, one)
+            r = F.select(not_one, F.mont_mul(r, c), r)
+            c = F.mont_sqr(c)
+            b = F.select(not_one, F.mont_mul(b, c), b)
+        # sign-normalize: canonical LSB must be 0
+        canon = F.from_mont(r)
+        neg = F.neg(r)
+        odd = (canon[0] & jnp.uint32(1)) != 0
+        r = F.select(odd, neg, r)
+        # sqrt(0) = 0
+        return F.select(F.is_zero(x), x, r)
