@@ -123,3 +123,33 @@ def test_mnt6753_g2_over_f3_device():
         for i in range(3))
     want = m.G2.double(m.G2.from_affine(g[0], g[1]))
     assert m.G2.eq(got, want)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_mnt6753_device_group_map_and_pedersen():
+    """Batched device groupMap + Pedersen hash vs the oracle (the oracle is
+    itself validated bit-exact against the Coda verifier test vectors)."""
+    import random
+    from wasmsnark_tpu.models.mnt6753 import mnt6753, Q
+    from wasmsnark_tpu.models.mnt6753_device import mnt6753_device
+
+    md = mnt6753_device()
+    m = md.m
+    F = md.fp
+
+    ts = [1, 12345, Q - 7]
+    out = jax.jit(md.group_map)(jnp.asarray(F.pack(ts)))
+    xs = F.unpack_mont(np.asarray(out[0]))
+    ys = F.unpack_mont(np.asarray(out[1]))
+    for i, tv in enumerate(ts):
+        want = m.group_map(tv)
+        assert xs[i] == want[0] and ys[i] == want[1]
+
+    rng = random.Random(4)
+    nbits = 4 * 754
+    b1 = [rng.randrange(2) for _ in range(nbits)]
+    b2 = [rng.randrange(2) for _ in range(nbits)]
+    bits = jnp.asarray(np.array([b1, b2], dtype=np.uint32).T)
+    got = F.unpack(np.asarray(jax.jit(md.pedersen_hash)(bits)))
+    assert got[0] == m.pedersen_hash(b1)
+    assert got[1] == m.pedersen_hash(b2)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..fields.spec import FieldSpec
 from .fp_pallas import (
-    TILE_B, mm_vals, add_vals, sub_vals, is_zero_vals)
+    TILE_B, mm_vals, add_vals, sub_vals, is_zero_vals, _expand)
 
 
 def _dbl_vals(L, np16, q, one_mont, X, Y, Z):
@@ -167,13 +167,13 @@ def _curve_call(spec: FieldSpec, kind: str):
 def _dispatch(spec: FieldSpec, kind: str, coords):
     """coords: list of [L, *B] arrays (same bshape). Returns 3 arrays."""
     L = spec.n_limbs
-    bshape = coords[0].shape[1:]
+    bshape = jnp.broadcast_shapes(*[c.shape[1:] for c in coords])
     B = int(np.prod(bshape)) if bshape else 1
     step = CURVE_TILE_B if B >= CURVE_TILE_B else 1024
     pad = (-B) % step
     flat = []
     for c in coords:
-        c = jnp.broadcast_to(c, (L,) + bshape).reshape(L, B)
+        c = _expand(c, L, bshape).reshape(L, B)
         if pad:
             c = jnp.pad(c, ((0, 0), (0, pad)))
         flat.append(c.reshape(L, 8, (B + pad) // 8))
@@ -190,11 +190,11 @@ def _dispatch(spec: FieldSpec, kind: str, coords):
 def jac_add_pallas(spec: FieldSpec, p, q):
     """Complete Jacobian add on (X, Y, Z) limb-plane triples."""
     bshape = jnp.broadcast_shapes(*[c.shape[1:] for c in (*p, *q)])
-    coords = [jnp.broadcast_to(c, (spec.n_limbs,) + bshape) for c in (*p, *q)]
+    coords = [_expand(c, spec.n_limbs, bshape) for c in (*p, *q)]
     return _dispatch(spec, "add", coords)
 
 
 def jac_double_pallas(spec: FieldSpec, p):
     bshape = jnp.broadcast_shapes(*[c.shape[1:] for c in p])
-    coords = [jnp.broadcast_to(c, (spec.n_limbs,) + bshape) for c in p]
+    coords = [_expand(c, spec.n_limbs, bshape) for c in p]
     return _dispatch(spec, "dbl", coords)

@@ -460,9 +460,13 @@ class FpSqrt:
             jnp.asarray(F.one_mont_np).reshape((F.L,) + (1,) * (x.ndim - 1)),
             x.shape).astype(U32)
         for i in range(s - 2, -1, -1):
-            d = b
-            for _ in range(i):
-                d = F.mont_sqr(d)
+            # i repeated squarings via fori_loop: one traced body per round
+            # (each pallas call site pays its own kernel compile, so an
+            # unrolled O(s^2) squaring chain is prohibitive to build).
+            if i > 0:
+                d = jax.lax.fori_loop(0, i, lambda _, v: F.mont_sqr(v), b)
+            else:
+                d = b
             not_one = ~F.eq(d, one)
             r = F.select(not_one, F.mont_mul(r, c), r)
             c = F.mont_sqr(c)

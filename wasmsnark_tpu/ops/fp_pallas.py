@@ -40,8 +40,77 @@ TILE_B = 2048
 # kernels (ops/curve_pallas.py).
 # ---------------------------------------------------------------------------
 
-def mm_vals(L, np16, q_limbs, X, Y):
-    """Montgomery product of two in-register (L, 8, T8) values."""
+
+def _expand(a, L, bshape):
+    """Broadcast [L, *b] against a full batch shape, inserting missing
+    leading batch axes (numpy right-aligned broadcasting does not cover
+    e.g. [L, 1] -> [L, 188, 2])."""
+    extra = len(bshape) - (a.ndim - 1)
+    a = a.reshape((L,) + (1,) * extra + a.shape[1:])
+    return jnp.broadcast_to(a, (L,) + bshape)
+
+
+def _q_tensor(L, q_limbs):
+    """(L, 1, 1) modulus-limb tensor built from literals via iota+select —
+    Pallas kernels cannot capture array constants, and an input operand per
+    kernel would bloat every signature."""
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (L, 1, 1), 0)
+    Q = jnp.zeros((L, 1, 1), jnp.uint32)
+    for k, qk in enumerate(q_limbs):
+        if qk:
+            Q = jnp.where(idx == k, jnp.uint32(qk), Q)
+    return Q
+
+
+def _mm_vals_block(L, np16, q_limbs, X, Y):
+    """Montgomery product of two in-register (L, 8, T8) values.
+
+    The anti-diagonal accumulation uses whole-(L,8,T8)-block updates
+    (static-index dynamic_update_slice) rather than per-row adds: the
+    trace is O(L) ops instead of O(L^2), keeping Mosaic compile time sane
+    for 48-limb fields (and every pallas call site in a large graph pays
+    its own kernel compile)."""
+    shape = X.shape[1:]
+    Q = _q_tensor(L, q_limbs)
+    acc = jnp.zeros((2 * L + 1,) + shape, jnp.uint32)
+
+    def block_add(acc, lo_row, block):
+        """acc[lo_row : lo_row+len(block)] += block via static slice+concat
+        (Mosaic has no dynamic_update_slice on values; empty slices are
+        invalid vector types, so they are omitted)."""
+        n = block.shape[0]
+        parts = []
+        if lo_row > 0:
+            parts.append(acc[:lo_row])
+        parts.append(acc[lo_row:lo_row + n] + block)
+        if lo_row + n < acc.shape[0]:
+            parts.append(acc[lo_row + n:])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    for i in range(L):
+        p = X[i][None] * Y                  # (L, 8, T8) exact 16x16 -> 32
+        acc = block_add(acc, i, p & LIMB_MASK)
+        acc = block_add(acc, i + 1, p >> LIMB_BITS)
+    for i in range(L):
+        m = (acc[i] * np16) & LIMB_MASK
+        pq = m[None] * Q                    # (L, 8, T8)
+        acc = block_add(acc, i, pq & LIMB_MASK)
+        acc = block_add(acc, i + 1, pq >> LIMB_BITS)
+        acc = block_add(acc, i + 1, (acc[i] >> LIMB_BITS)[None])
+
+    res = []
+    carry = None
+    for k in range(L):
+        t = acc[L + k] if carry is None else acc[L + k] + carry
+        res.append(t & LIMB_MASK)
+        carry = t >> LIMB_BITS
+    r = jnp.stack(res, axis=0)
+    return _cond_sub_q(L, q_limbs, r, carry)
+
+
+def _mm_vals_rows(L, np16, q_limbs, X, Y):
+    """Row-unrolled CIOS: O(L^2) trace ops but minimal VMEM traffic — the
+    fast-runtime variant for the hot small-limb fields."""
     acc = [None] * (2 * L + 1)
 
     def bump(k, v):
@@ -73,6 +142,20 @@ def mm_vals(L, np16, q_limbs, X, Y):
         carry = t >> LIMB_BITS
     r = jnp.stack(res, axis=0)
     return _cond_sub_q(L, q_limbs, r, carry)
+
+
+# Row-unrolled kernels run ~5x faster but their Mosaic compiles scale with
+# L^2 (and every pallas call site pays its own kernel compile); 48-limb
+# fields flip the trade-off.
+MM_BLOCK_LIMB_THRESHOLD = 32
+
+
+def mm_vals(L, np16, q_limbs, X, Y):
+    """Montgomery product of two in-register (L, 8, T8) values (CIOS; same
+    math as FpDevice.mont_mul / the reference's f1m_mul)."""
+    if L > MM_BLOCK_LIMB_THRESHOLD:
+        return _mm_vals_block(L, np16, q_limbs, X, Y)
+    return _mm_vals_rows(L, np16, q_limbs, X, Y)
 
 
 def _cond_sub_q(L, q_limbs, r, top_carry):
@@ -182,8 +265,8 @@ def mont_mul_pallas(spec: FieldSpec, x, y):
     """
     L = spec.n_limbs
     bshape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
-    x = jnp.broadcast_to(x, (L,) + bshape)
-    y = jnp.broadcast_to(y, (L,) + bshape)
+    x = _expand(x, L, bshape)
+    y = _expand(y, L, bshape)
     B = int(np.prod(bshape)) if bshape else 1
     xf = x.reshape(L, B)
     yf = y.reshape(L, B)
@@ -248,8 +331,8 @@ def _addsub_call(spec: FieldSpec, is_sub: bool):
 def _dispatch_2in(spec: FieldSpec, call, x, y):
     L = spec.n_limbs
     bshape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
-    x = jnp.broadcast_to(x, (L,) + bshape)
-    y = jnp.broadcast_to(y, (L,) + bshape)
+    x = _expand(x, L, bshape)
+    y = _expand(y, L, bshape)
     B = int(np.prod(bshape)) if bshape else 1
     xf = x.reshape(L, B)
     yf = y.reshape(L, B)
@@ -370,7 +453,7 @@ def butterfly_pallas(spec: FieldSpec, u, v, w):
     """Batched butterfly on [L, *B] planes (w broadcasts against u/v)."""
     L = spec.n_limbs
     bshape = jnp.broadcast_shapes(u.shape[1:], v.shape[1:], w.shape[1:])
-    arrs = [jnp.broadcast_to(c, (L,) + bshape) for c in (u, v, w)]
+    arrs = [_expand(c, L, bshape) for c in (u, v, w)]
     B = int(np.prod(bshape)) if bshape else 1
     step = TILE_B if B >= TILE_B else 1024
     pad = (-B) % step

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields.spec import FieldSpec
-from .fp_pallas import ValAdapter, TILE_B
+from .fp_pallas import ValAdapter, TILE_B, _expand
 from .towers import F2Device, F3Device
 
 # F12 leaf order: ((c00, c01), (c10, c11), (c20, c21)) x 2  -> 12 planes
@@ -198,13 +198,13 @@ def _tower_call(spec: FieldSpec, kind: str):
 def _dispatch(spec: FieldSpec, kind: str, arrays):
     """arrays: flat list of [L, *B] planes (same bshape)."""
     L = spec.n_limbs
-    bshape = arrays[0].shape[1:]
+    bshape = jnp.broadcast_shapes(*[a.shape[1:] for a in arrays])
     B = int(np.prod(bshape)) if bshape else 1
     step = TOWER_TILE_B if B >= TOWER_TILE_B else 1024
     pad = (-B) % step
     flat = []
     for c in arrays:
-        c = jnp.broadcast_to(c, (L,) + bshape).reshape(L, B)
+        c = _expand(c, L, bshape).reshape(L, B)
         if pad:
             c = jnp.pad(c, ((0, 0), (0, pad)))
         flat.append(c.reshape(L, 8, (B + pad) // 8))
