@@ -294,3 +294,147 @@ class Bn128PairingDevice:
 @functools.lru_cache(maxsize=1)
 def bn128_pairing_device() -> Bn128PairingDevice:
     return Bn128PairingDevice()
+
+
+class Bls12381PairingDevice:
+    """Device pairing engine for BLS12-381 — same architecture as the BN128
+    engine (batched pairs in lanes, inversion-free scaled-line Miller loop,
+    full-exponent final exponentiation), with the BLS specifics: xi = 1 + u,
+    M-type twist (line components at w^0 / v*w / v^2*w, xi factor on the
+    w^0 term), **negative** ate loop x = -0xd201000000010000 — the Miller
+    value is conjugated after the loop (equals inversion under the final
+    exponentiation) — and no Frobenius correction steps
+    (build_bls12381.js:228-231, :849).  The scaled-line algebra is validated
+    against the oracle pairing."""
+
+    XI = (1, 1)
+
+    def __init__(self):
+        from ..models.bls12381 import bls12381, Q, R, ATE_LOOP_COUNT
+
+        self.m = bls12381()
+        self.fp = FpDevice(self.m.fp_spec)
+        base = FpAdapter(self.fp)
+        self.base = base
+        self.F2d = F2Device(base, base.neg)
+
+        def mul_xi(a):  # xi = 1 + u
+            return (base.sub(a[0], a[1]), base.add(a[0], a[1]))
+
+        self.F6d = F3Device(self.F2d, mul_xi)
+
+        def mul_nr12(a):
+            return (mul_xi(a[2]), a[0], a[1])
+
+        self.F12d = F2Device(self.F6d, mul_nr12)
+
+        self.loop_bits = np.array(
+            [int(b) for b in bin(ATE_LOOP_COUNT)[3:]], dtype=np.uint32)
+        self.finexp_bits = np.array(
+            [int(b) for b in bin((Q ** 12 - 1) // R)[2:]], dtype=np.uint32)
+
+    # marshalling shares the BN128 engine's layout
+    pack_g1 = Bn128PairingDevice.pack_g1
+    pack_g2 = Bn128PairingDevice.pack_g2
+    unpack_f12 = Bn128PairingDevice.unpack_f12
+    _f12_one = Bn128PairingDevice._f12_one
+    _fused = Bn128PairingDevice._fused
+    is_one = Bn128PairingDevice.is_one
+
+    def _sparse(self, a0, b1, b2):
+        F = self.base
+        z2 = (F.zero_like(a0[0]), F.zero_like(a0[0]))
+        return ((a0, z2, z2), (z2, b1, b2))
+
+    def _f12_mul(self, a, b):
+        if self._fused():
+            from .tower_pallas import f12_mul_pallas
+            return f12_mul_pallas(self.fp.spec, a, b, xi=self.XI)
+        return self.F12d.mul(a, b)
+
+    def _f12_sqr(self, a):
+        if self._fused():
+            from .tower_pallas import f12_sqr_pallas
+            return f12_sqr_pallas(self.fp.spec, a, xi=self.XI)
+        return self.F12d.square(a)
+
+    def _mul_xi(self, a):  # xi = 1 + u
+        F = self.base
+        return (F.sub(a[0], a[1]), F.add(a[0], a[1]))
+
+    def _dbl_step(self, X, Y, Z, xP, yP):
+        if self._fused():
+            from .tower_pallas import miller_dbl_pallas
+            (a0, b1, b2), Xn, Yn, Zn = miller_dbl_pallas(
+                self.fp.spec, X, Y, Z, xP, yP, xi=self.XI, mtwist=True)
+            return self._sparse(a0, b1, b2), Xn, Yn, Zn
+        F2 = self.F2d
+        X2 = F2.square(X); Y2 = F2.square(Y); Z2 = F2.square(Z)
+        Y2Z = F2.mul(Y2, Z)
+        YZ2 = F2.mul(Y, Z2)
+        a0 = F2.mul_base(self._mul_xi(F2.add(YZ2, YZ2)), yP)
+        X3c = F2.mul(X2, X)
+        b1 = F2.sub(F2.mul_small(X3c, 3), F2.mul_small(Y2Z, 2))
+        b2 = F2.mul_base(F2.neg(F2.mul_small(F2.mul(X2, Z), 3)), xP)
+        X4 = F2.square(X2)
+        t1 = F2.sub(F2.mul_small(X4, 9), F2.mul_small(F2.mul(X, Y2Z), 8))
+        Xn = F2.mul(F2.mul_small(F2.mul(Y, Z), 2), t1)
+        Yn = F2.sub(
+            F2.sub(F2.mul_small(F2.mul(X3c, Y2Z), 36),
+                   F2.mul_small(F2.mul(X4, X2), 27)),
+            F2.mul_small(F2.square(Y2Z), 8))
+        Zn = F2.mul_small(F2.mul(F2.mul(Y2, Y), F2.mul(Z2, Z)), 8)
+        return self._sparse(a0, b1, b2), Xn, Yn, Zn
+
+    def _add_step(self, X, Y, Z, x2, y2, xP, yP):
+        if self._fused():
+            from .tower_pallas import miller_add_pallas
+            (a0, b1, b2), Xn, Yn, Zn = miller_add_pallas(
+                self.fp.spec, X, Y, Z, x2, y2, xP, yP, xi=self.XI, mtwist=True)
+            return self._sparse(a0, b1, b2), Xn, Yn, Zn
+        F2 = self.F2d
+        th = F2.sub(F2.mul(y2, Z), Y)
+        lm = F2.sub(F2.mul(x2, Z), X)
+        a0 = F2.mul_base(self._mul_xi(lm), yP)
+        b1 = F2.sub(F2.mul(th, x2), F2.mul(lm, y2))
+        b2 = F2.mul_base(F2.neg(th), xP)
+        C = F2.square(th); D = F2.square(lm); E = F2.mul(lm, D)
+        Fv = F2.mul(Z, C); G = F2.mul(X, D)
+        H = F2.sub(F2.sub(Fv, F2.mul_small(G, 2)), E)
+        Xn = F2.mul(lm, H)
+        Yn = F2.sub(F2.mul(th, F2.sub(G, H)), F2.mul(E, Y))
+        Zn = F2.mul(Z, E)
+        return self._sparse(a0, b1, b2), Xn, Yn, Zn
+
+    def miller_loop(self, g1, g2):
+        F2d, F12 = self.F2d, self.F12d
+        xP, yP = g1
+        xQ, yQ = g2
+        f = self._f12_one(xP)
+        X, Y, Z = xQ, yQ, F2d.one_like(xQ)
+        bits = jnp.asarray(self.loop_bits)
+
+        def body(carry, bit):
+            f, X, Y, Z = carry
+            l, X, Y, Z = self._dbl_step(X, Y, Z, xP, yP)
+            f = self._f12_mul(self._f12_sqr(f), l)
+            la, Xa, Ya, Za = self._add_step(X, Y, Z, xQ, yQ, xP, yP)
+            fa = self._f12_mul(f, la)
+            take = bit != 0
+            f = F12.select(take, fa, f)
+            X = F2d.select(take, Xa, X)
+            Y = F2d.select(take, Ya, Y)
+            Z = F2d.select(take, Za, Z)
+            return (f, X, Y, Z), None
+
+        (f, X, Y, Z), _ = jax.lax.scan(body, (f, X, Y, Z), bits)
+        # negative loop: conjugate (== inverse after final exponentiation)
+        return (f[0], self.F6d.neg(f[1]))
+
+    final_exponentiation = Bn128PairingDevice.final_exponentiation
+    pairing_product = Bn128PairingDevice.pairing_product
+
+
+@functools.lru_cache(maxsize=1)
+def bls12381_pairing_device() -> Bls12381PairingDevice:
+    return Bls12381PairingDevice()

@@ -29,14 +29,19 @@ from .towers import F2Device, F3Device
 N12 = 12
 
 
-def _bn128_towers(L, np16, q_limbs):
-    """ValAdapter-based F2/F6/F12 towers for BN128 (xi = 9 + u)."""
+def _towers(L, np16, q_limbs, xi):
+    """ValAdapter-based F2/F6/F12 towers; xi = (c0, c1) is the small
+    sextic non-residue c0 + c1*u (BN128: 9 + u; BLS12-381: 1 + u)."""
     base = ValAdapter(L, np16, q_limbs)
     F2 = F2Device(base, base.neg)
+    c0, c1 = xi
+
+    def smul(a, k):
+        return base.mul_small(a, k) if k > 1 else a
 
     def mul_xi(a):
-        return (base.sub(base.mul_small(a[0], 9), a[1]),
-                base.add(a[0], base.mul_small(a[1], 9)))
+        return (base.sub(smul(a[0], c0), smul(a[1], c1)),
+                base.add(smul(a[0], c1), smul(a[1], c0)))
 
     F6 = F3Device(F2, mul_xi)
 
@@ -67,8 +72,8 @@ def _unflatten12(flat):
         tuple((next(i), next(i)) for _ in range(3)) for _ in range(2))
 
 
-def _f12_mul_kernel(L, np16, q_limbs, square, *refs):
-    _, _, _, F12 = _bn128_towers(L, np16, q_limbs)
+def _f12_mul_kernel(L, np16, q_limbs, xi, square, *refs):
+    _, _, _, F12 = _towers(L, np16, q_limbs, xi)
     if square:
         a = _unflatten12([r[:] for r in refs[:N12]])
         out = F12.square(a)
@@ -82,12 +87,12 @@ def _f12_mul_kernel(L, np16, q_limbs, square, *refs):
         r[:] = v
 
 
-def _miller_dbl_kernel(L, np16, q_limbs, *refs):
+def _miller_dbl_kernel(L, np16, q_limbs, xi, *refs):
     """In: X,Y,Z (6 planes, F2 homogeneous twist coords), xP, yP (2 planes).
     Out: sparse line (a0, b0, b1 -> 6 planes) + new X,Y,Z (6 planes).
 
     Formulas validated against the oracle pairing (ops/pairing.py doc)."""
-    base, F2, _, _ = _bn128_towers(L, np16, q_limbs)
+    base, F2, _, _ = _towers(L, np16, q_limbs, xi)
     X = (refs[0][:], refs[1][:])
     Y = (refs[2][:], refs[3][:])
     Z = (refs[4][:], refs[5][:])
@@ -116,10 +121,10 @@ def _miller_dbl_kernel(L, np16, q_limbs, *refs):
         r[:] = v
 
 
-def _miller_add_kernel(L, np16, q_limbs, *refs):
+def _miller_add_kernel(L, np16, q_limbs, xi, *refs):
     """In: X,Y,Z (6), x2,y2 (4, F2 affine), xP,yP (2).
     Out: sparse line (6) + new X,Y,Z (6)."""
-    base, F2, _, _ = _bn128_towers(L, np16, q_limbs)
+    base, F2, _, _ = _towers(L, np16, q_limbs, xi)
     X = (refs[0][:], refs[1][:])
     Y = (refs[2][:], refs[3][:])
     Z = (refs[4][:], refs[5][:])
@@ -146,31 +151,117 @@ def _miller_add_kernel(L, np16, q_limbs, *refs):
         r[:] = v
 
 
+def _miller_dbl_mtwist_kernel(L, np16, q_limbs, xi, *refs):
+    """M-twist (psi divides by w powers: BLS12-381) doubling step.
+    Line components land at w^0, v*w, v^2*w with the xi factor on the
+    w^0 term: a0 = xi*2YZ^2*yP, b1 = 3X^3 - 2Y^2 Z, b2 = -3X^2 Z xP
+    (validated against the oracle pairing)."""
+    base, F2, _, _ = _towers(L, np16, q_limbs, xi)
+    c0, c1 = xi
+
+    def mul_xi2(a):
+        s = lambda v, k: base.mul_small(v, k) if k > 1 else v
+        return (base.sub(s(a[0], c0), s(a[1], c1)),
+                base.add(s(a[0], c1), s(a[1], c0)))
+
+    X = (refs[0][:], refs[1][:])
+    Y = (refs[2][:], refs[3][:])
+    Z = (refs[4][:], refs[5][:])
+    xP = refs[6][:]
+    yP = refs[7][:]
+
+    X2 = F2.square(X); Y2 = F2.square(Y); Z2 = F2.square(Z)
+    Y2Z = F2.mul(Y2, Z)
+    YZ2 = F2.mul(Y, Z2)
+    a0 = F2.mul_base(mul_xi2(F2.add(YZ2, YZ2)), yP)
+    X3c = F2.mul(X2, X)
+    b1 = F2.sub(F2.mul_small(X3c, 3), F2.mul_small(Y2Z, 2))
+    b2 = F2.mul_base(F2.neg(F2.mul_small(F2.mul(X2, Z), 3)), xP)
+    X4 = F2.square(X2)
+    t1 = F2.sub(F2.mul_small(X4, 9), F2.mul_small(F2.mul(X, Y2Z), 8))
+    Xn = F2.mul(F2.mul_small(F2.mul(Y, Z), 2), t1)
+    Yn = F2.sub(
+        F2.sub(F2.mul_small(F2.mul(X3c, Y2Z), 36),
+               F2.mul_small(F2.mul(X4, X2), 27)),
+        F2.mul_small(F2.square(Y2Z), 8))
+    Zn = F2.mul_small(F2.mul(F2.mul(Y2, Y), F2.mul(Z2, Z)), 8)
+
+    outs = refs[8:]
+    for r, v in zip(outs, [a0[0], a0[1], b1[0], b1[1], b2[0], b2[1],
+                           Xn[0], Xn[1], Yn[0], Yn[1], Zn[0], Zn[1]]):
+        r[:] = v
+
+
+def _miller_add_mtwist_kernel(L, np16, q_limbs, xi, *refs):
+    """M-twist mixed-add step: a0 = xi*lm*yP, b1 = th*x2 - lm*y2,
+    b2 = -th*xP."""
+    base, F2, _, _ = _towers(L, np16, q_limbs, xi)
+    c0, c1 = xi
+
+    def mul_xi2(a):
+        s = lambda v, k: base.mul_small(v, k) if k > 1 else v
+        return (base.sub(s(a[0], c0), s(a[1], c1)),
+                base.add(s(a[0], c1), s(a[1], c0)))
+
+    X = (refs[0][:], refs[1][:])
+    Y = (refs[2][:], refs[3][:])
+    Z = (refs[4][:], refs[5][:])
+    x2 = (refs[6][:], refs[7][:])
+    y2 = (refs[8][:], refs[9][:])
+    xP = refs[10][:]
+    yP = refs[11][:]
+
+    th = F2.sub(F2.mul(y2, Z), Y)
+    lm = F2.sub(F2.mul(x2, Z), X)
+    a0 = F2.mul_base(mul_xi2(lm), yP)
+    b1 = F2.sub(F2.mul(th, x2), F2.mul(lm, y2))
+    b2 = F2.mul_base(F2.neg(th), xP)
+    C = F2.square(th); D = F2.square(lm); E = F2.mul(lm, D)
+    Fv = F2.mul(Z, C); G = F2.mul(X, D)
+    H = F2.sub(F2.sub(Fv, F2.mul_small(G, 2)), E)
+    Xn = F2.mul(lm, H)
+    Yn = F2.sub(F2.mul(th, F2.sub(G, H)), F2.mul(E, Y))
+    Zn = F2.mul(Z, E)
+
+    outs = refs[12:]
+    for r, v in zip(outs, [a0[0], a0[1], b1[0], b1[1], b2[0], b2[1],
+                           Xn[0], Xn[1], Yn[0], Yn[1], Zn[0], Zn[1]]):
+        r[:] = v
+
+
 # kernels are heavy; narrow lane tile keeps VMEM in budget
 TOWER_TILE_B = 1024
 
 
 @functools.lru_cache(maxsize=None)
-def _tower_call(spec: FieldSpec, kind: str):
+def _tower_call(spec: FieldSpec, kind: str, xi: tuple = (9, 1)):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L = spec.n_limbs
     if kind == "f12mul":
         kern = functools.partial(_f12_mul_kernel, L, spec.np16, spec.q_limbs,
-                                 False)
+                                 xi, False)
         n_in, n_out = 24, 12
     elif kind == "f12sqr":
         kern = functools.partial(_f12_mul_kernel, L, spec.np16, spec.q_limbs,
-                                 True)
+                                 xi, True)
         n_in, n_out = 12, 12
     elif kind == "mdbl":
         kern = functools.partial(_miller_dbl_kernel, L, spec.np16,
-                                 spec.q_limbs)
+                                 spec.q_limbs, xi)
         n_in, n_out = 8, 12
     elif kind == "madd":
         kern = functools.partial(_miller_add_kernel, L, spec.np16,
-                                 spec.q_limbs)
+                                 spec.q_limbs, xi)
+        n_in, n_out = 12, 12
+    elif kind == "mdbl_m":
+        kern = functools.partial(_miller_dbl_mtwist_kernel, L, spec.np16,
+                                 spec.q_limbs, xi)
+        n_in, n_out = 8, 12
+    elif kind == "madd_m":
+        kern = functools.partial(_miller_add_mtwist_kernel, L, spec.np16,
+                                 spec.q_limbs, xi)
         n_in, n_out = 12, 12
     else:  # pragma: no cover
         raise ValueError(kind)
@@ -195,7 +286,7 @@ def _tower_call(spec: FieldSpec, kind: str):
     return run
 
 
-def _dispatch(spec: FieldSpec, kind: str, arrays):
+def _dispatch(spec: FieldSpec, kind: str, arrays, xi=(9, 1)):
     """arrays: flat list of [L, *B] planes (same bshape)."""
     L = spec.n_limbs
     bshape = jnp.broadcast_shapes(*[a.shape[1:] for a in arrays])
@@ -208,7 +299,7 @@ def _dispatch(spec: FieldSpec, kind: str, arrays):
         if pad:
             c = jnp.pad(c, ((0, 0), (0, pad)))
         flat.append(c.reshape(L, 8, (B + pad) // 8))
-    outs = _tower_call(spec, kind)(*flat)
+    outs = _tower_call(spec, kind, tuple(xi))(*flat)
     res = []
     for o in outs:
         o = o.reshape(L, B + pad)
@@ -218,27 +309,27 @@ def _dispatch(spec: FieldSpec, kind: str, arrays):
     return res
 
 
-def f12_mul_pallas(spec, a, b):
-    out = _dispatch(spec, "f12mul", _flatten12(a) + _flatten12(b))
+def f12_mul_pallas(spec, a, b, xi=(9, 1)):
+    out = _dispatch(spec, "f12mul", _flatten12(a) + _flatten12(b), xi)
     return _unflatten12(out)
 
 
-def f12_sqr_pallas(spec, a):
-    return _unflatten12(_dispatch(spec, "f12sqr", _flatten12(a)))
+def f12_sqr_pallas(spec, a, xi=(9, 1)):
+    return _unflatten12(_dispatch(spec, "f12sqr", _flatten12(a), xi))
 
 
-def miller_dbl_pallas(spec, X, Y, Z, xP, yP):
-    out = _dispatch(spec, "mdbl",
-                    [X[0], X[1], Y[0], Y[1], Z[0], Z[1], xP, yP])
+def miller_dbl_pallas(spec, X, Y, Z, xP, yP, xi=(9, 1), mtwist=False):
+    out = _dispatch(spec, "mdbl_m" if mtwist else "mdbl",
+                    [X[0], X[1], Y[0], Y[1], Z[0], Z[1], xP, yP], xi)
     a0, b0, b1 = (out[0], out[1]), (out[2], out[3]), (out[4], out[5])
     Xn, Yn, Zn = (out[6], out[7]), (out[8], out[9]), (out[10], out[11])
     return (a0, b0, b1), Xn, Yn, Zn
 
 
-def miller_add_pallas(spec, X, Y, Z, x2, y2, xP, yP):
-    out = _dispatch(spec, "madd",
+def miller_add_pallas(spec, X, Y, Z, x2, y2, xP, yP, xi=(9, 1), mtwist=False):
+    out = _dispatch(spec, "madd_m" if mtwist else "madd",
                     [X[0], X[1], Y[0], Y[1], Z[0], Z[1],
-                     x2[0], x2[1], y2[0], y2[1], xP, yP])
+                     x2[0], x2[1], y2[0], y2[1], xP, yP], xi)
     a0, b0, b1 = (out[0], out[1]), (out[2], out[3]), (out[4], out[5])
     Xn, Yn, Zn = (out[6], out[7]), (out[8], out[9]), (out[10], out[11])
     return (a0, b0, b1), Xn, Yn, Zn
