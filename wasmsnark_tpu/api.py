@@ -32,8 +32,9 @@ def build_mnt6753():
 
 
 def build_bls12381():
-    """BLS12-381 module (field/curve/pairing stack).  The reference builds
-    the full bls12381 WASM module but wires no prover runtime for it
-    (SURVEY.md §2.2) — exposed here as the assembled curve module."""
-    from .models.bls12381 import bls12381
-    return bls12381()
+    """BLS12-381 runtime: the assembled curve module (field/curve/pairing,
+    attribute passthrough) plus a full Groth16 prove/verify surface — a
+    capability the reference stops short of (it builds the bls12381 WASM
+    module but wires no prover, SURVEY.md §2.2)."""
+    from .groth16.runtime import Bls12381Runtime
+    return Bls12381Runtime()

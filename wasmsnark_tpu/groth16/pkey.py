@@ -23,6 +23,11 @@ back by src/bn128.js:581-604):
 All points and coefficients are stored in Montgomery form, little-endian
 (buildpkey.js:57-77).  Witness file: flat LE 32-byte canonical Fr values, no
 header (buildwitness.js:65-69).
+
+Element sizes derive from the field specs (wasmsnark's n8 = 8*n64,
+build_f1m.js:27): 32B for BN128 — byte-identical to the reference format —
+48B Fp for BLS12-381, 96B for MNT6753.  The same layout therefore serves
+every curve family.
 """
 
 from __future__ import annotations
@@ -35,8 +40,6 @@ import numpy as np
 from ..fields.spec import FieldSpec
 from ..utils.serialize import bytes_to_limbs, int_to_bytes_le, bytes_le_to_int
 from ..ops.pol import SparseLC
-
-N8 = 32  # bytes per field element (BN128)
 
 
 @dataclasses.dataclass
@@ -64,10 +67,11 @@ class ProvingKey:
 
 
 def _g1_planes(fp: FieldSpec, data: bytes, n: int):
-    """n G1 affine Montgomery points (64B each) -> (x, y, z) planes."""
-    arr = np.frombuffer(data[: n * 64], dtype=np.uint8).reshape(n, 64)
-    xs = bytes_to_limbs(arr[:, :32].tobytes(), 32, fp.n_limbs)
-    ys = bytes_to_limbs(arr[:, 32:].tobytes(), 32, fp.n_limbs)
+    """n G1 affine Montgomery points (2*n8 bytes each) -> (x, y, z) planes."""
+    s = fp.n8
+    arr = np.frombuffer(data[: n * 2 * s], dtype=np.uint8).reshape(n, 2 * s)
+    xs = bytes_to_limbs(arr[:, :s].tobytes(), s, fp.n_limbs)
+    ys = bytes_to_limbs(arr[:, s:].tobytes(), s, fp.n_limbs)
     nz = ((xs != 0).any(axis=0) | (ys != 0).any(axis=0)).astype(np.uint32)
     one = np.array(fp.limbs(fp.one_mont), dtype=np.uint32)[:, None]
     zs = (one * nz[None, :]).astype(np.uint32)
@@ -75,8 +79,9 @@ def _g1_planes(fp: FieldSpec, data: bytes, n: int):
 
 
 def _g2_planes(fp: FieldSpec, data: bytes, n: int):
-    arr = np.frombuffer(data[: n * 128], dtype=np.uint8).reshape(n, 128)
-    comps = [bytes_to_limbs(arr[:, 32 * i: 32 * (i + 1)].tobytes(), 32, fp.n_limbs)
+    s = fp.n8
+    arr = np.frombuffer(data[: n * 4 * s], dtype=np.uint8).reshape(n, 4 * s)
+    comps = [bytes_to_limbs(arr[:, s * i: s * (i + 1)].tobytes(), s, fp.n_limbs)
              for i in range(4)]
     nz = np.zeros(n, dtype=bool)
     for c in comps:
@@ -88,17 +93,20 @@ def _g2_planes(fp: FieldSpec, data: bytes, n: int):
 
 
 def _g1_affine_host(fp: FieldSpec, data: bytes):
-    x = fp.from_mont(bytes_le_to_int(data[:32]))
-    y = fp.from_mont(bytes_le_to_int(data[32:64]))
+    s = fp.n8
+    x = fp.from_mont(bytes_le_to_int(data[:s]))
+    y = fp.from_mont(bytes_le_to_int(data[s: 2 * s]))
     return (x, y)
 
 
 def _g2_affine_host(fp: FieldSpec, data: bytes):
-    c = [fp.from_mont(bytes_le_to_int(data[32 * i: 32 * (i + 1)])) for i in range(4)]
+    s = fp.n8
+    c = [fp.from_mont(bytes_le_to_int(data[s * i: s * (i + 1)])) for i in range(4)]
     return ((c[0], c[1]), (c[2], c[3]))
 
 
 def _parse_sparse(fr: FieldSpec, data: bytes, n_signals: int, domain: int) -> SparseLC:
+    s = fr.n8
     sig_idx, coef_idx, coefs = [], [], []
     off = 0
     for i in range(n_signals):
@@ -107,11 +115,11 @@ def _parse_sparse(fr: FieldSpec, data: bytes, n_signals: int, domain: int) -> Sp
         for _ in range(ncoefs):
             (cidx,) = struct.unpack_from("<I", data, off)
             off += 4
-            coefs.append(data[off: off + N8])
-            off += N8
+            coefs.append(data[off: off + s])
+            off += s
             sig_idx.append(i)
             coef_idx.append(cidx)
-    cf = bytes_to_limbs(b"".join(coefs), N8, fr.n_limbs) if coefs else \
+    cf = bytes_to_limbs(b"".join(coefs), s, fr.n_limbs) if coefs else \
         np.zeros((fr.n_limbs, 0), dtype=np.uint32)
     return SparseLC(
         sig_idx=np.array(sig_idx, dtype=np.int32),
@@ -126,11 +134,14 @@ def parse_pkey(pkey: bytes, fp_spec: FieldSpec, fr_spec: FieldSpec) -> ProvingKe
     n_signals, n_public, domain = h[0], h[1], h[2]
     p_pols_a, p_pols_b, p_a, p_b1, p_b2, p_c, p_h = h[3:]
     base = 40
-    alfa1 = _g1_affine_host(fp_spec, pkey[base: base + 64])
-    beta1 = _g1_affine_host(fp_spec, pkey[base + 64: base + 128])
-    delta1 = _g1_affine_host(fp_spec, pkey[base + 128: base + 192])
-    beta2 = _g2_affine_host(fp_spec, pkey[base + 192: base + 320])
-    delta2 = _g2_affine_host(fp_spec, pkey[base + 320: base + 448])
+    g1sz, g2sz = 2 * fp_spec.n8, 4 * fp_spec.n8
+    alfa1 = _g1_affine_host(fp_spec, pkey[base: base + g1sz])
+    beta1 = _g1_affine_host(fp_spec, pkey[base + g1sz: base + 2 * g1sz])
+    delta1 = _g1_affine_host(fp_spec, pkey[base + 2 * g1sz: base + 3 * g1sz])
+    beta2 = _g2_affine_host(fp_spec, pkey[base + 3 * g1sz:
+                                          base + 3 * g1sz + g2sz])
+    delta2 = _g2_affine_host(fp_spec, pkey[base + 3 * g1sz + g2sz:
+                                           base + 3 * g1sz + 2 * g2sz])
     return ProvingKey(
         n_signals=n_signals,
         n_public=n_public,
@@ -156,17 +167,19 @@ def write_pkey(fp_spec: FieldSpec, fr_spec: FieldSpec, *,
     pols_a/pols_b: per-signal dict {coefIdx: Fr canonical int}.
     points: affine (x, y) canonical bigint pairs or None for zero.
     """
+    s = fp_spec.n8
+
     def g1(pt):
         if pt is None:
-            return b"\0" * 64
-        return (int_to_bytes_le(fp_spec.to_mont(pt[0]), 32)
-                + int_to_bytes_le(fp_spec.to_mont(pt[1]), 32))
+            return b"\0" * (2 * s)
+        return (int_to_bytes_le(fp_spec.to_mont(pt[0]), s)
+                + int_to_bytes_le(fp_spec.to_mont(pt[1]), s))
 
     def g2(pt):
         if pt is None:
-            return b"\0" * 128
+            return b"\0" * (4 * s)
         (x0, x1), (y0, y1) = pt
-        return b"".join(int_to_bytes_le(fp_spec.to_mont(v), 32)
+        return b"".join(int_to_bytes_le(fp_spec.to_mont(v), s)
                         for v in (x0, x1, y0, y1))
 
     def sparse(pols):
@@ -175,19 +188,19 @@ def write_pkey(fp_spec: FieldSpec, fr_spec: FieldSpec, *,
             out += struct.pack("<I", len(p))
             for cidx in sorted(p):
                 out += struct.pack("<I", cidx)
-                out += int_to_bytes_le(fr_spec.to_mont(p[cidx]), 32)
+                out += int_to_bytes_le(fr_spec.to_mont(p[cidx]), fr_spec.n8)
         return bytes(out)
 
     n_signals = len(pols_a)
     sa, sb = sparse(pols_a), sparse(pols_b)
     base = 40
-    p_pols_a = base + 448
+    p_pols_a = base + 3 * (2 * s) + 2 * (4 * s)
     p_pols_b = p_pols_a + len(sa)
     p_a = p_pols_b + len(sb)
-    p_b1 = p_a + 64 * n_signals
-    p_b2 = p_b1 + 64 * n_signals
-    p_c = p_b2 + 128 * n_signals
-    p_h = p_c + 64 * (n_signals - n_public - 1)
+    p_b1 = p_a + 2 * s * n_signals
+    p_b2 = p_b1 + 2 * s * n_signals
+    p_c = p_b2 + 4 * s * n_signals
+    p_h = p_c + 2 * s * (n_signals - n_public - 1)
     header = struct.pack("<10I", n_signals, n_public, domain_size,
                          p_pols_a, p_pols_b, p_a, p_b1, p_b2, p_c, p_h)
     body = (header + g1(alfa1) + g1(beta1) + g1(delta1) + g2(beta2) + g2(delta2)
@@ -201,9 +214,10 @@ def write_pkey(fp_spec: FieldSpec, fr_spec: FieldSpec, *,
 
 
 def read_witness(data: bytes, fr_spec: FieldSpec) -> np.ndarray:
-    """witness.bin (flat canonical LE 32B Fr) -> [L, nSignals] limb planes."""
-    return bytes_to_limbs(data, N8, fr_spec.n_limbs)
+    """witness.bin (flat canonical LE n8-byte Fr) -> [L, nSignals] planes."""
+    return bytes_to_limbs(data, fr_spec.n8, fr_spec.n_limbs)
 
 
 def write_witness(values, fr_spec: FieldSpec) -> bytes:
-    return b"".join(int_to_bytes_le(int(v) % fr_spec.q, N8) for v in values)
+    return b"".join(int_to_bytes_le(int(v) % fr_spec.q, fr_spec.n8)
+                    for v in values)

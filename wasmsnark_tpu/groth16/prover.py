@@ -37,11 +37,26 @@ from ..utils.serialize import bytes_le_to_int, limbs_to_ints
 from .pkey import parse_pkey, read_witness, ProvingKey
 
 
-class Groth16Prover:
-    """Holds device kernel objects + jit caches for one curve module."""
+def _module(curve: str):
+    if curve == "bn128":
+        return bn128()
+    if curve == "bls12381":
+        from ..models.bls12381 import bls12381
+        return bls12381()
+    raise ValueError(f"unknown curve {curve!r}")
 
-    def __init__(self, msm_window_bits: int | None = None):
-        self.m = bn128()
+
+class Groth16Prover:
+    """Holds device kernel objects + jit caches for one curve module.
+
+    Curve-generic over the jacobian-a0 families: "bn128" (the reference's
+    production prover) and "bls12381" (the reference builds the full module
+    but never wires a prover for it, SURVEY.md §2.2 — here the same pipeline
+    serves both since every kernel is specialized by FieldSpec)."""
+
+    def __init__(self, msm_window_bits: int | None = None,
+                 curve: str = "bn128"):
+        self.m = _module(curve)
         self.Fp = FpDevice(self.m.fp_spec)
         self.Fr = FpDevice(self.m.fr_spec)
         self.ntt = NTTDevice(self.m.ntt_spec, self.Fr)
@@ -185,11 +200,12 @@ class Groth16Prover:
                 for w in range(nw)]
 
 
-@functools.lru_cache(maxsize=4)
-def _prover(window_bits) -> Groth16Prover:
-    return Groth16Prover(window_bits)
+@functools.lru_cache(maxsize=8)
+def _prover(window_bits, curve) -> Groth16Prover:
+    return Groth16Prover(window_bits, curve=curve)
 
 
-def groth16_gen_proof(witness, pkey, *, rng=None, msm_window_bits=None):
-    """Module-level entry used by Bn128Runtime.groth16_gen_proof."""
-    return _prover(msm_window_bits).prove(witness, pkey, rng=rng)
+def groth16_gen_proof(witness, pkey, *, rng=None, msm_window_bits=None,
+                      curve: str = "bn128"):
+    """Module-level entry used by the curve runtimes."""
+    return _prover(msm_window_bits, curve).prove(witness, pkey, rng=rng)

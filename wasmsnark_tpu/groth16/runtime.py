@@ -34,3 +34,35 @@ class Bn128Runtime:
         groth16.verifier.groth16_verify_batch."""
         from .verifier import groth16_verify_batch
         return groth16_verify_batch(verification_key, inputs_list, proofs)
+
+
+class Bls12381Runtime:
+    """BLS12-381 module + Groth16 runtime.
+
+    The reference builds the complete bls12381 WASM module (field/curve/
+    FFT/multiexp/pairing, src/bls12381/build_bls12381.js) but wires no
+    prover orchestrator for it (SURVEY.md §2.2).  Here the curve-generic
+    Groth16 pipeline serves BLS12-381 directly, so this runtime exposes
+    the full prove/verify surface on top of the assembled module.
+
+    Attribute access falls through to the curve module, so this object is
+    a drop-in for `bls12381()` (fields, curves, pairing oracle)."""
+
+    def __init__(self):
+        from ..models.bls12381 import bls12381
+        self.module = bls12381()
+
+    def __getattr__(self, name):
+        return getattr(self.module, name)
+
+    def groth16_gen_proof(self, witness, pkey, *, rng=None):
+        from .prover import groth16_gen_proof
+        return groth16_gen_proof(witness, pkey, rng=rng, curve="bls12381")
+
+    def groth16_verify(self, verification_key, inputs, proof) -> bool:
+        return _verify(verification_key, inputs, proof, curve="bls12381")
+
+    def groth16_verify_batch(self, verification_key, inputs_list, proofs):
+        from .verifier import groth16_verify_batch
+        return groth16_verify_batch(verification_key, inputs_list, proofs,
+                                    curve="bls12381")

@@ -1,4 +1,4 @@
-"""Groth16 trusted setup (test/tooling use) for BN128 circuits.
+"""Groth16 trusted setup (test/tooling use), curve-generic.
 
 The reference consumes keys produced by old snarkjs ("groth" protocol) via
 tools/buildpkey.js; its committed multi-MB key blobs are stripped from the
@@ -15,6 +15,11 @@ Conventions matched to the reference prover (src/bn128.js:580-720):
     hExps[j] = [tau^j * Z(tau) / delta] G1;
   * like old snarkjs, one binding constraint (s_i)*(0) = 0 is appended per
     public signal (including ONE) so public-input A-polynomials are nonzero.
+
+Any curve module with the standard surface (Fr, G1, G2, ntt_spec, fp/fr
+specs) works — BN128 by default, and BLS12-381 (where the reference builds
+the full WASM module but never wires a prover, SURVEY.md §2.2) through
+`setup(r1cs, module=bls12381())`.
 """
 
 from __future__ import annotations
@@ -49,16 +54,17 @@ def square_chain_circuit(k: int) -> R1CS:
     return R1CS(n_signals=n_signals, n_public=1, constraints=cons)
 
 
-def square_chain_witness(r1cs_k: int, x: int):
-    s = [pow(x, 1 << i, R) for i in range(r1cs_k + 1)]
+def square_chain_witness(r1cs_k: int, x: int, r: int = R):
+    s = [pow(x, 1 << i, r) for i in range(r1cs_k + 1)]
     out = s[-1]
-    return [1, out, x % R] + s[1:-1]
+    return [1, out, x % r] + s[1:-1]
 
 
-def setup(r1cs: R1CS, seed: int = 42):
+def setup(r1cs: R1CS, seed: int = 42, module=None):
     """Run the trusted setup; returns (pkey_bytes, vk_dict, toxic) with the
     toxic waste exposed for test assertions only."""
-    m = bn128()
+    m = module if module is not None else bn128()
+    R = m.Fr.q
     rng = random.Random(seed)
     Fr = m.Fr
 

@@ -14,8 +14,17 @@ device pairing path lands with the F6/F12 device towers.
 
 from __future__ import annotations
 
-from ..models.bn128 import bn128, R
+from ..models.bn128 import bn128
 from ..utils.serialize import parse_bigint
+
+
+def _module(curve: str):
+    if curve == "bn128":
+        return bn128()
+    if curve == "bls12381":
+        from ..models.bls12381 import bls12381
+        return bls12381()
+    raise ValueError(f"unknown curve {curve!r}")
 
 
 def _g1_from_json(m, pt):
@@ -43,7 +52,8 @@ class _M:
     pass
 
 
-def groth16_verify(vk: dict, inputs, proof: dict) -> bool:
+def groth16_verify(vk: dict, inputs, proof: dict,
+                   curve: str = "bn128") -> bool:
     """Verify a proof against a snarkjs-style verification key JSON.
 
     `vk`: dict with vk_alfa_1, vk_beta_2, vk_gamma_2, vk_delta_2, IC.
@@ -51,8 +61,8 @@ def groth16_verify(vk: dict, inputs, proof: dict) -> bool:
     OCaml-num value is wrapped, mirroring bn128.js:724-728.
     `proof`: dict with pi_a (G1), pi_b (G2), pi_c (G1).
     """
-    m = bn128()
-    m.q_f1 = m.F1.q
+    m = _module(curve)
+    R = m.Fr.q
 
     if inputs is None:
         inputs = []
@@ -91,7 +101,8 @@ def groth16_verify(vk: dict, inputs, proof: dict) -> bool:
 # Batched device verification (TPU-native capability beyond the reference)
 # ---------------------------------------------------------------------------
 
-def groth16_verify_batch(vk: dict, inputs_list, proofs) -> list:
+def groth16_verify_batch(vk: dict, inputs_list, proofs,
+                         curve: str = "bn128") -> list:
     """Verify N proofs against one verification key in a single device
     program.
 
@@ -106,16 +117,19 @@ def groth16_verify_batch(vk: dict, inputs_list, proofs) -> list:
     Falls back to per-proof host verification for lanes with degenerate
     (zero) points; the equation math is identical either way.
     """
-    import jax
     import numpy as np
-    from ..models.bn128 import bn128
-    from ..ops.pairing import bn128_pairing_device
 
-    m = bn128()
+    m = _module(curve)
+    R = m.Fr.q
     n = len(proofs)
     assert len(inputs_list) == n
 
-    pd = bn128_pairing_device()
+    if curve == "bn128":
+        from ..ops.pairing import bn128_pairing_device
+        pd = bn128_pairing_device()
+    else:
+        from ..ops.pairing import bls12381_pairing_device
+        pd = bls12381_pairing_device()
 
     g1_rows = [[], [], [], []]   # A, -vk_x, -C, -alfa1
     g2_rows = [[], [], [], []]   # B, gamma2, delta2, beta2
