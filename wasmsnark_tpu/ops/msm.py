@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .curve import JacobianDevice, map_leaf
-from .scan import seg_scan, prefix_scan, reduce_last
+from .scan import seg_scan_parts, prefix_scan, reduce_last
 from ..fields.spec import LIMB_BITS
 
 
@@ -90,36 +90,48 @@ class MSMDevice:
         d = jnp.take_along_axis(scalar_limbs, order, axis=-1)  # [W, N]
         p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))  # [.., W, N]
 
-        # ---- 2. segmented inclusive scan over the point axis ----
+        # ---- 2. chunk-local segmented scan over the point axis ----
+        # Only run-END values are consumed (bucket totals), so the full
+        # two-pass segmented scan is overkill: one chunk-local pass + the
+        # per-chunk incoming prefixes halve the dominant add count
+        # (N*W adds instead of 2*N*W; the fixup below is <= 2^c*W adds).
         prev = jnp.concatenate(
             [jnp.full((W, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
         flags = d != prev                                      # [W, N]
-        summed = seg_scan(C, flags, p)
+        local, incoming, K = seg_scan_parts(C, flags, p)
 
         # ---- 3. dense bucket array by binary search (gather, no scatter) ----
         # Each bucket's total is the run-end entry of its digit in the sorted
         # order.  A data-dependent scatter serializes badly on TPU (measured
-        # ~70% of MSM wall time); instead searchsorted finds, per bucket b,
-        # the index of the last sorted entry with digit <= b — if that
-        # entry's digit == b the bucket is that run total, else empty.
+        # ~70% of MSM wall time); instead an integer histogram + cumsum
+        # finds, per bucket b, the index of the last sorted entry with
+        # digit <= b — if that entry's digit == b the bucket is that run's
+        # total, else the bucket is empty.
         bvals = jnp.arange(B, dtype=jnp.uint32)
-        # run-end position of bucket b = (# entries with digit <= b) - 1,
-        # via an integer histogram (scatter-add of ones is cheap, unlike
-        # point scatters) + cumulative sum.
         counts = jnp.zeros((W, B), jnp.int32).at[
             jnp.arange(W, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
         ].add(1, mode="drop")
-        pos = jnp.maximum(jnp.cumsum(counts, axis=-1) - 1, 0)  # [W, B]
+        ends = jnp.cumsum(counts, axis=-1)                      # [W, B]
+        pos = jnp.maximum(ends - 1, 0)
         hit = jnp.take_along_axis(d, pos.astype(jnp.uint32), axis=-1) == bvals[None, :]
+        # run start position; a run crossing its chunk boundary needs the
+        # chunk's incoming prefix combined in (one add per bucket)
+        start = ends - counts                                   # [W, B]
+        c_idx = pos // K
+        crosses = hit & (start < c_idx * K)
 
-        def gather_leaf(sleaf):
-            g = jnp.take_along_axis(
-                sleaf, jnp.broadcast_to(pos, sleaf.shape[:-1] + (B,)), axis=-1)
-            return jnp.where(hit, g, jnp.zeros_like(g))
+        def take_at(idx):
+            return lambda a: jnp.take_along_axis(
+                a, jnp.broadcast_to(idx, a.shape[:-1] + (B,)), axis=-1)
 
+        g = map_leaf(local, take_at(pos))
+        inc = map_leaf(incoming, take_at(c_idx))
+        fixed = C.add(g, inc)
+        sel = C.select(crosses, fixed, g)
         # zeroing X/Y/Z of empty buckets yields Z = 0 -> the complete add
         # treats them as the zero point; Y=0 is fine since Z=0 dominates.
-        buckets = map_leaf(summed, gather_leaf)                 # [.., W, B]
+        buckets = map_leaf(
+            sel, lambda a: jnp.where(hit, a, jnp.zeros_like(a)))  # [.., W, B]
 
         # ---- 4. triangle fold: sum_{b>=1} b*S_b = sum suffix sums ----
         rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])  # S_{B-1}..S_1

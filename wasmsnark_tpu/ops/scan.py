@@ -107,6 +107,80 @@ def seg_scan(curve, flags, values, seq_threshold: int = 256, chunk_steps: int = 
     return map_leaf(res, lambda a: a[..., :N]) if pad else res
 
 
+def seg_scan_parts(curve, flags, values, chunk_steps: int = 256):
+    """Chunk-local segmented scan + per-chunk incoming prefixes — the
+    half-work variant for consumers that only read *run-end* values (the
+    MSM bucket totals): one lax.scan pass over the data instead of two.
+
+    Returns (local, incoming, K):
+      * local: same shapes as values; the inclusive segmented scan
+        restarted at every chunk boundary (chunks of K positions);
+      * incoming: leaves [*batch, Cn]; the global segmented prefix carried
+        into each chunk (i.e. the scan value at the end of chunk c-1,
+        already combined across earlier chunks);
+      * K: the chunk size used.
+    A run-end at global position p (chunk c = p // K) has global value
+        local[p]                    if its run starts inside chunk c,
+        local[p] (+) incoming[c]    if the run crosses the chunk start
+    — sorted input guarantees the incoming carry belongs to that same run.
+    """
+    C = curve
+    N = _n_last(values)
+
+    def step(carry, xs):
+        f, v = xs
+        acc = C.select(f, v, C.add(carry, v))
+        return acc, acc
+
+    if N <= chunk_steps:
+        fl = jnp.moveaxis(flags, -1, 0)
+        vals = map_leaf(values, lambda a: jnp.moveaxis(a, -1, 0))
+        init = C.zero_like(map_leaf(values, lambda a: a[..., 0]))
+        _, out = jax.lax.scan(step, init, (fl, vals))
+        local = map_leaf(out, lambda a: jnp.moveaxis(a, 0, -1))
+        incoming = C.zero_like(map_leaf(values, lambda a: a[..., :1]))
+        return local, incoming, max(N, 1)
+
+    K = chunk_steps
+    pad = (-N) % K
+    if pad:
+        flags = jnp.concatenate(
+            [flags, jnp.ones(flags.shape[:-1] + (pad,), bool)], axis=-1)
+        zero = C.zero_like(map_leaf(values, lambda a: a[..., :1]))
+        values = jax.tree.map(
+            lambda v, z: jnp.concatenate(
+                [v, jnp.broadcast_to(z, z.shape[:-1] + (pad,))], axis=-1),
+            values, zero)
+    Np = N + pad
+    Cn = Np // K
+
+    def to_chunks(a):
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (Cn, K)), -1, 0)
+
+    def from_chunks(a):
+        mid = a.shape[1:-1]
+        return jnp.moveaxis(a, 0, -1).reshape(mid + (Np,))
+
+    fl = to_chunks(flags)
+    vals = map_leaf(values, to_chunks)
+
+    # single data pass: chunk-local inclusive scan, keeping outputs
+    init = C.zero_like(map_leaf(vals, lambda a: a[0]))
+    chunk_last, out = jax.lax.scan(step, init, (fl, vals))
+    local = map_leaf(out, from_chunks)
+    if pad:
+        local = map_leaf(local, lambda a: a[..., :N])
+
+    # combine chunk carries (factor-K smaller problem), shift exclusive
+    any_flag = jnp.any(fl, axis=0)
+    carried = seg_scan(curve, any_flag, chunk_last, chunk_steps, chunk_steps)
+    zeroc = C.zero_like(map_leaf(carried, lambda a: a[..., :1]))
+    incoming = jax.tree.map(
+        lambda z, a: jnp.concatenate([z, a[..., :-1]], axis=-1),
+        zeroc, carried)
+    return local, incoming, K
+
+
 def prefix_scan(curve, values, **kw):
     """Plain inclusive prefix scan (segmented scan with no boundaries)."""
     leaf = jax.tree.leaves(values)[0]
