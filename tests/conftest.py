@@ -8,7 +8,17 @@ to TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Default to the CPU backend with an 8-device virtual mesh; an ambient
+# JAX_PLATFORMS (e.g. the axon TPU plugin on dev machines) is honored so
+# the suite runs on the fastest available backend — kernel semantics are
+# identical (uint32 lanes) and the device-count-gated sharding tests
+# skip themselves on single-chip platforms (the driver's
+# dryrun_multichip covers the sharded path on the virtual mesh).
+# WASMSNARK_TPU_TEST_BACKEND forces a specific backend either way.
+if "WASMSNARK_TPU_TEST_BACKEND" in os.environ:
+    os.environ["JAX_PLATFORMS"] = os.environ["WASMSNARK_TPU_TEST_BACKEND"]
+else:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -104,6 +104,62 @@ def test_f12_device_tower_mul(pd):
     assert pd.unpack_f12(got_sqr)[0] == m.F12.square(a)
 
 
+def _pack_f12(pd, el):
+    return tuple(tuple(
+        (np.asarray(pd.fp.pack_mont([c2[0]])),
+         np.asarray(pd.fp.pack_mont([c2[1]])))
+        for c2 in c6) for c6 in el)
+
+
+def test_frobenius_and_cyclotomic_square(pd):
+    """frobenius(p^j) == oracle exp by q^j; Granger-Scott square == full
+    square on a unitary (cyclotomic-subgroup) element.  Small always-on
+    checks pinning the fast final-exponentiation machinery."""
+    import random
+    m = pd.m
+    Q = m.F1.q
+    rng = random.Random(11)
+    f = tuple(tuple((rng.randrange(Q), rng.randrange(Q)) for _ in range(3))
+              for _ in range(2))
+    fd = _pack_f12(pd, f)
+    for j in (1, 2, 3):
+        got = pd.unpack_f12(jax.jit(lambda x, j=j: pd.frobenius(x, j))(fd))[0]
+        assert got == m.F12.exp(f, Q ** j), f"frobenius power {j}"
+    # easy-part image is in the cyclotomic subgroup
+    u = m.F12.exp(f, (Q ** 6 - 1) * (Q ** 2 + 1))
+    ud = _pack_f12(pd, u)
+    got = pd.unpack_f12(jax.jit(pd.cyclotomic_square)(ud))[0]
+    assert got == m.F12.square(u)
+
+
+def test_f12_inverse_device(pd):
+    import random
+    m = pd.m
+    Q = m.F1.q
+    rng = random.Random(13)
+    f = tuple(tuple((rng.randrange(Q), rng.randrange(Q)) for _ in range(3))
+              for _ in range(2))
+    got = pd.unpack_f12(jax.jit(pd.F12d.inv)(_pack_f12(pd, f)))[0]
+    assert got == m.F12.inv(f)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_final_exponentiation_chain_vs_scan(pd):
+    """The z-chain final exponentiation equals the full-exponent ladder
+    (and both equal the oracle) on a random element."""
+    import random
+    m = pd.m
+    Q = m.F1.q
+    rng = random.Random(17)
+    f = tuple(tuple((rng.randrange(Q), rng.randrange(Q)) for _ in range(3))
+              for _ in range(2))
+    fd = _pack_f12(pd, f)
+    from wasmsnark_tpu.models.bn128 import R
+    want = m.F12.exp(f, (Q ** 12 - 1) // R)
+    got = pd.unpack_f12(jax.jit(pd.final_exponentiation)(fd))[0]
+    assert got == want
+
+
 @pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
 def test_full_pairing_matches_oracle(pd):
     m = pd.m
@@ -115,3 +171,72 @@ def test_full_pairing_matches_oracle(pd):
     e = jax.jit(lambda a, b: pd.final_exponentiation(pd.miller_loop(a, b)))(g1, g2)
     e_o = m.final_exponentiation(m.miller_loop((p1[0], p1[1]), (q1[0], q1[1])))
     assert pd.unpack_f12(e)[0] == e_o
+
+
+def test_bls12381_frobenius_and_cyc_sqr():
+    import random
+    from wasmsnark_tpu.ops.pairing import bls12381_pairing_device
+    pd2 = bls12381_pairing_device()
+    m = pd2.m
+    Q = m.F1.q
+    rng = random.Random(19)
+    f = tuple(tuple((rng.randrange(Q), rng.randrange(Q)) for _ in range(3))
+              for _ in range(2))
+    fd = _pack_f12(pd2, f)
+    for j in (1, 2):
+        got = pd2.unpack_f12(
+            jax.jit(lambda x, j=j: pd2.frobenius(x, j))(fd))[0]
+        assert got == m.F12.exp(f, Q ** j)
+    u = m.F12.exp(f, (Q ** 6 - 1) * (Q ** 2 + 1))
+    got = pd2.unpack_f12(jax.jit(pd2.cyclotomic_square)(_pack_f12(pd2, u)))[0]
+    assert got == m.F12.square(u)
+
+
+@pytest.mark.skipif(not SLOW, reason="48-limb composed compile ~10min on CPU")
+def test_mnt6753_frobenius_and_cyc_sqr():
+    import random
+    from wasmsnark_tpu.ops.pairing import mnt6753_pairing_device
+    pd3 = mnt6753_pairing_device()
+    m = pd3.m
+    Q = m.F1.q
+    rng = random.Random(23)
+    f = ((rng.randrange(Q), rng.randrange(Q), rng.randrange(Q)),
+         (rng.randrange(Q), rng.randrange(Q), rng.randrange(Q)))
+
+    def pack6(el):
+        return (tuple(np.asarray(pd3.fp.pack_mont([c])) for c in el[0]),
+                tuple(np.asarray(pd3.fp.pack_mont([c])) for c in el[1]))
+
+    got = pd3.unpack_f6(jax.jit(pd3.frobenius)(pack6(f)))[0]
+    assert got == m.F6.exp(f, Q)
+    u = m.F6.exp(f, (Q ** 3 - 1) * (Q + 1))
+    got = pd3.unpack_f6(jax.jit(pd3.cyclotomic_square)(pack6(u)))[0]
+    assert got == m.F6.square(u)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_bls12381_device_pairing_matches_oracle():
+    from wasmsnark_tpu.ops.pairing import bls12381_pairing_device
+    pd2 = bls12381_pairing_device()
+    m = pd2.m
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 10))
+    q1 = m.G2.affine(m.g2_gen)
+    g1 = pd2.pack_g1([(p1[0], p1[1])])
+    g2 = pd2.pack_g2([(q1[0], q1[1])])
+    e = jax.jit(lambda a, b: pd2.final_exponentiation(pd2.miller_loop(a, b)))(g1, g2)
+    e_o = m.final_exponentiation(m.miller_loop((p1[0], p1[1]), (q1[0], q1[1])))
+    assert pd2.unpack_f12(e)[0] == e_o
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_mnt6753_device_pairing_matches_oracle():
+    from wasmsnark_tpu.ops.pairing import mnt6753_pairing_device
+    pd3 = mnt6753_pairing_device()
+    m = pd3.m
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 10))
+    q1 = m.G2.affine(m.g2_gen)
+    g1 = pd3.pack_g1([(p1[0], p1[1])])
+    g2 = pd3.pack_g2([(q1[0], q1[1])])
+    e = jax.jit(lambda a, b: pd3.final_exponentiation(pd3.miller_loop(a, b)))(g1, g2)
+    e_o = m.final_exponentiation(m.miller_loop((p1[0], p1[1]), (q1[0], q1[1])))
+    assert pd3.unpack_f6(e)[0] == e_o

@@ -6,9 +6,13 @@ block_until_ready bracketing).  Usage:
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -25,7 +29,7 @@ def main():
     from wasmsnark_tpu.ops.towers import FpAdapter
     from wasmsnark_tpu.ops.curve import JacobianDevice, map_leaf
     from wasmsnark_tpu.ops.msm import MSMDevice
-    from wasmsnark_tpu.ops.scan import seg_scan, prefix_scan, reduce_last
+    from wasmsnark_tpu.ops.scan import seg_scan_parts, prefix_scan, reduce_last
     from wasmsnark_tpu.utils.serialize import ints_to_limbs
 
     n = 1 << args.bits
@@ -84,24 +88,30 @@ def main():
         prev = jnp.concatenate(
             [jnp.full((W, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
         flags = d != prev
-        return seg_scan(C, flags, p)
+        return seg_scan_parts(C, flags, p)
 
     @jax.jit
-    def stage_buckets(d, summed):
+    def stage_buckets(d, local, incoming, K):
         bvals = jnp.arange(B, dtype=jnp.uint32)
         counts = jnp.zeros((W, B), jnp.int32).at[
             jnp.arange(W, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
         ].add(1, mode="drop")
-        pos = jnp.maximum(jnp.cumsum(counts, axis=-1) - 1, 0)
+        ends = jnp.cumsum(counts, axis=-1)
+        pos = jnp.maximum(ends - 1, 0)
         hit = jnp.take_along_axis(
             d, pos.astype(jnp.uint32), axis=-1) == bvals[None, :]
+        start = ends - counts
+        c_idx = pos // K
+        crosses = hit & (start < c_idx * K)
 
-        def gather_leaf(sleaf):
-            g = jnp.take_along_axis(
-                sleaf, jnp.broadcast_to(pos, sleaf.shape[:-1] + (B,)),
-                axis=-1)
-            return jnp.where(hit, g, jnp.zeros_like(g))
-        return map_leaf(summed, gather_leaf)
+        def take_at(idx):
+            return lambda a: jnp.take_along_axis(
+                a, jnp.broadcast_to(idx, a.shape[:-1] + (B,)), axis=-1)
+
+        g = map_leaf(local, take_at(pos))
+        inc = map_leaf(incoming, take_at(c_idx))
+        sel = C.select(crosses, C.add(g, inc), g)
+        return map_leaf(sel, lambda a: jnp.where(hit, a, jnp.zeros_like(a)))
 
     @jax.jit
     def stage_fold(buckets):
@@ -119,8 +129,9 @@ def main():
 
     t_sort, (order, d) = timeit(stage_sort, d_all)
     t_gather, p = timeit(stage_gather, order, points)
-    t_scan, summed = timeit(stage_scan, d, p)
-    t_buckets, buckets = timeit(stage_buckets, d, summed)
+    t_scan, (local, incoming, K) = timeit(stage_scan, d, p)
+    t_buckets, buckets = timeit(
+        lambda d, l, i: stage_buckets(d, l, i, K), d, local, incoming)
     t_fold, win = timeit(stage_fold, buckets)
     total = t_sort + t_gather + t_scan + t_buckets + t_fold
     for name, t in [("argsort", t_sort), ("point-gather", t_gather),

@@ -44,6 +44,68 @@ from .towers import FpAdapter, F2Device, F3Device
 from .curve import map_leaf
 
 
+def _leaf0(tree):
+    """First leaf of a tower-element pytree (shape/aspect donor)."""
+    x = tree
+    while isinstance(x, tuple):
+        x = x[0]
+    return x
+
+
+def _bit_segments(bits):
+    """Static MSB-first bit array (MSB implicit/skipped) -> (segments,
+    tail): segments[i] = number of squarings/doublings before the i-th
+    multiply/add (inclusive of the 1-bit's own step); tail = trailing
+    squarings after the last 1-bit."""
+    segs, run = [], 0
+    for b in np.asarray(bits).tolist():
+        run += 1
+        if b:
+            segs.append(run)
+            run = 0
+    return np.asarray(segs, dtype=np.int32), run
+
+
+def _seg_square_multiply(sqr_once, mul_f, st, bits):
+    """Generic segment-scan square-and-multiply: sqr_once(state) per bit,
+    mul_f(state) on 1-bits; two traced bodies total."""
+    segs, tail = _bit_segments(bits)
+
+    def body(s, k):
+        s = jax.lax.fori_loop(0, k, lambda _, x: sqr_once(x), s)
+        return mul_f(s), None
+
+    if len(segs):
+        st, _ = jax.lax.scan(body, st, jnp.asarray(segs))
+    if tail:
+        st = jax.lax.fori_loop(0, tail, lambda _, x: sqr_once(x), st)
+    return st
+
+
+def _windowed_cyc_exp(one, mul, sqr, select, f, e: int, w: int = 4):
+    """f^e for cyclotomic f via a w-bit windowed ladder: w cyclotomic
+    squarings between windows, one multiply per window against a
+    2^w-entry precomputed power table (dynamic-index select, branch-free).
+    Exact exponent — no chain multiple."""
+    pows = [one, f]
+    for _ in range(2, 1 << w):
+        pows.append(mul(pows[-1], f))
+    table = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *pows)
+    nd = (e.bit_length() + w - 1) // w
+    digits = np.array([(e >> (w * (nd - 1 - i))) & ((1 << w) - 1)
+                       for i in range(nd)], dtype=np.uint32)
+
+    def body(r, d):
+        for _ in range(w):
+            r = sqr(r)
+        t = jax.tree.map(lambda a: a[d], table)
+        rm = mul(r, t)
+        return select(d != 0, rm, r), None
+
+    r, _ = jax.lax.scan(body, one, jnp.asarray(digits))
+    return r
+
+
 class Bn128PairingDevice:
     """Device pairing engine for BN128 (specialized per the module oracle)."""
 
@@ -89,8 +151,21 @@ class Bn128PairingDevice:
         self._g22 = self._const_f2(g22)
         self._g23 = self._const_f2(g23)
 
-        # final exponentiation bit string
-        from ..models.bn128 import R
+        # Frobenius coefficient tables for the F12 maps p, p^2, p^3
+        # (build_bn128.js:838-939 gamma tables): component k (power of
+        # xi^(1/6)) picks up xi^(k (q^j - 1)/6) under x -> x^(q^j).
+        self._frob_coefs = []
+        for j in (1, 2, 3):
+            e = (Q ** j - 1) // 6
+            self._frob_coefs.append(tuple(
+                self._const_f2(F2o.exp(xi, k * e)) for k in range(1, 6)))
+
+        # BN parameter z (|6z+2| = ate loop; build_bn128.js:1092) for the
+        # hard-part chain, and the full-exponent bit string kept for the
+        # scan fallback / cross-check
+        from ..models.bn128 import R, FINAL_EXP_Z
+        self.z_bits = np.array([int(b) for b in bin(FINAL_EXP_Z)[2:]],
+                               dtype=np.uint32)
         self.finexp_bits = np.array(
             [int(b) for b in bin((Q ** 12 - 1) // R)[2:]], dtype=np.uint32)
 
@@ -214,22 +289,7 @@ class Bn128PairingDevice:
         f = self._f12_one(xP)
         X, Y, Z = xQ, yQ, F2d.one_like(xQ)
 
-        bits = jnp.asarray(self.loop_bits)
-
-        def body(carry, bit):
-            f, X, Y, Z = carry
-            l, X, Y, Z = self._dbl_step(X, Y, Z, xP, yP)
-            f = self._f12_mul(self._f12_sqr(f), l)
-            la, Xa, Ya, Za = self._add_step(X, Y, Z, xQ, yQ, xP, yP)
-            fa = self._f12_mul(f, la)
-            take = bit != 0
-            f = F12.select(take, fa, f)
-            X = F2d.select(take, Xa, X)
-            Y = F2d.select(take, Ya, Y)
-            Z = F2d.select(take, Za, Z)
-            return (f, X, Y, Z), None
-
-        (f, X, Y, Z), _ = jax.lax.scan(body, (f, X, Y, Z), bits)
+        f, X, Y, Z = self._miller_core(f, X, Y, Z, xQ, yQ, xP, yP)
 
         # Frobenius correction add-steps (build_bn128.js:530-575)
         def bcast(c, like):
@@ -255,8 +315,126 @@ class Bn128PairingDevice:
         z = F.zero_like(like)
         return (((one, z), (z, z), (z, z)), ((z, z), (z, z), (z, z)))
 
+    def _miller_core(self, f, X, Y, Z, xQ, yQ, xP, yP):
+        """Square-and-multiply over the static ate-loop bits, organized as
+        a lax.scan over *segments* — each segment is (k doublings, then
+        one add-step) with the per-segment k as scan input and a traced-
+        bound fori_loop inside.  The add-step runs only popcount(bits)
+        times (the reference likewise branches per bit,
+        build_bn128.js:613-753) instead of every iteration with a select,
+        while the whole loop still compiles exactly two step bodies."""
+        segs, tail = _bit_segments(self.loop_bits)
+
+        def dbl_once(_, st):
+            f, X, Y, Z = st
+            l, X, Y, Z = self._dbl_step(X, Y, Z, xP, yP)
+            return (self._f12_mul(self._f12_sqr(f), l), X, Y, Z)
+
+        def seg_body(st, k):
+            st = jax.lax.fori_loop(0, k, dbl_once, st)
+            f, X, Y, Z = st
+            l, X, Y, Z = self._add_step(X, Y, Z, xQ, yQ, xP, yP)
+            return (self._f12_mul(f, l), X, Y, Z), None
+
+        st = (f, X, Y, Z)
+        if len(segs):
+            st, _ = jax.lax.scan(seg_body, st, jnp.asarray(segs))
+        if tail:
+            st = jax.lax.fori_loop(0, tail, dbl_once, st)
+        return st
+
+    # -- Frobenius / cyclotomic machinery --------------------------------------
+
+    def _bc(self, c, like):
+        """Broadcast a packed [L, 1] constant F2 element to leaf shape."""
+        return map_leaf(c, lambda a: jnp.broadcast_to(
+            a.reshape((a.shape[0],) + (1,) * (like.ndim - 1)), like.shape))
+
+    def frobenius(self, f, power: int = 1):
+        """f^(q^power) for power in {1, 2, 3} via per-component conjugation
+        + precomputed gamma coefficients (build_bn128.js:838-939).  The six
+        components sit at powers (0,2,4,1,3,5) of xi^(1/6) in the basis
+        (1, v, v^2, w, vw, v^2 w)."""
+        F2 = self.F2d
+        (a0, a1, a2), (b0, b1, b2) = f
+        cf = self._frob_coefs[power - 1]
+        like = a0[0]
+        g = [self._bc(c, like) for c in cf]   # xi^(k e) for k = 1..5
+        if power in (1, 3):
+            conj = F2.conjugate
+            a0, a1, a2 = conj(a0), conj(a1), conj(a2)
+            b0, b1, b2 = conj(b0), conj(b1), conj(b2)
+        return ((a0, F2.mul(a1, g[1]), F2.mul(a2, g[3])),
+                (F2.mul(b0, g[0]), F2.mul(b1, g[2]), F2.mul(b2, g[4])))
+
+    def _f12_conj(self, f):
+        return (f[0], self.F6d.neg(f[1]))
+
+    def cyclotomic_square(self, f):
+        """Granger-Scott squaring for elements of the cyclotomic subgroup
+        (the reference's __cyclotomicSquare, build_bn128.js:980-1089):
+        9 F2 squarings instead of a full F12 square."""
+        if self._fused():
+            from .tower_pallas import f12_cyc_sqr_pallas
+            return f12_cyc_sqr_pallas(self.fp.spec, f, xi=self.XI)
+        from .towers import gs_cyclotomic_square
+        return gs_cyclotomic_square(self.F2d, self.mul_xi, f)
+
+    XI = (9, 1)
+
+    def _exp_cyc(self, f, bits):
+        """f^e for cyclotomic f, static MSB-first bit array (skips MSB);
+        segment-scan ladder — multiplies run only on 1-bits."""
+        return _seg_square_multiply(
+            self.cyclotomic_square, lambda r: self._f12_mul(r, f),
+            f, bits[1:])
+
+    def _exp_cyc_window(self, f, e: int, w: int = 4):
+        return _windowed_cyc_exp(
+            self._f12_one(_leaf0(f)), self._f12_mul, self.cyclotomic_square,
+            self.F12d.select, f, e, w)
+
     def final_exponentiation(self, f):
-        """f^((q^12-1)/r) via square-and-multiply scan over static bits."""
+        """f^((q^12-1)/r), easy/hard split (build_bn128.js:943-1262).
+
+        Easy part: f^((q^6-1)(q^2+1)) = conj(f) * f^-1, then * its q^2
+        Frobenius.  Hard part: the exact BN addition chain in z
+        (verified to equal (q^4-q^2+1)/r as an integer identity) with
+        three z-exponentiations under cyclotomic squaring — ~200 light
+        steps instead of a ~2800-bit full-exponent ladder."""
+        F12 = self.F12d
+        # easy part
+        t = self._f12_mul(self._f12_conj(f), F12.inv(f))
+        t = self._f12_mul(self.frobenius(t, 2), t)
+        # hard part (z-chain; exponent identity checked on host integers)
+        mul, sq = self._f12_mul, self.cyclotomic_square
+        conj = self._f12_conj
+        fp1 = self.frobenius(t, 1)
+        fp2 = self.frobenius(t, 2)
+        fp3 = self.frobenius(t, 3)
+        fu = self._exp_cyc(t, self.z_bits)
+        fu2 = self._exp_cyc(fu, self.z_bits)
+        fu3 = self._exp_cyc(fu2, self.z_bits)
+        y0 = mul(mul(fp1, fp2), fp3)
+        y1 = conj(t)
+        y2 = self.frobenius(fu2, 2)
+        y3 = conj(self.frobenius(fu, 1))
+        y4 = conj(mul(fu, self.frobenius(fu2, 1)))
+        y5 = conj(fu2)
+        y6 = conj(mul(fu3, self.frobenius(fu3, 1)))
+        t0 = mul(mul(sq(y6), y4), y5)
+        t1 = mul(mul(y3, y5), t0)
+        t0 = mul(t0, y2)
+        t1 = mul(sq(t1), t0)
+        t1 = sq(t1)
+        t0 = mul(t1, y1)
+        t1 = mul(t1, y0)
+        t0 = sq(t0)
+        return mul(t0, t1)
+
+    def final_exponentiation_scan(self, f):
+        """Full-exponent square-and-multiply ladder — kept as the
+        self-check reference for the chain version."""
         F12 = self.F12d
         bits = jnp.asarray(self.finexp_bits[1:])  # MSB implicit
         def body(r, bit):
@@ -321,6 +499,7 @@ class Bls12381PairingDevice:
         def mul_xi(a):  # xi = 1 + u
             return (base.sub(a[0], a[1]), base.add(a[0], a[1]))
 
+        self.mul_xi = mul_xi
         self.F6d = F3Device(self.F2d, mul_xi)
 
         def mul_nr12(a):
@@ -333,6 +512,21 @@ class Bls12381PairingDevice:
         self.finexp_bits = np.array(
             [int(b) for b in bin((Q ** 12 - 1) // R)[2:]], dtype=np.uint32)
 
+        # Frobenius gamma tables (same construction as BN128; xi = 1+u)
+        F2o = self.m.F2
+        xi = self.m.xi
+        self._frob_coefs = []
+        for j in (1, 2, 3):
+            e = (Q ** j - 1) // 6
+            self._frob_coefs.append(tuple(
+                self._const_f2(F2o.exp(xi, k * e)) for k in range(1, 6)))
+        # exact hard-part exponent (q^4 - q^2 + 1)/r.  The z-based BLS
+        # chains in the literature compute f^(3d) (host-checked integer
+        # identity), which would break bit-parity with the oracle's exact
+        # exponent, so the hard part runs an exact windowed cyclotomic
+        # ladder instead.
+        self._hard_exp = (Q ** 4 - Q ** 2 + 1) // R
+
     # marshalling shares the BN128 engine's layout
     pack_g1 = Bn128PairingDevice.pack_g1
     pack_g2 = Bn128PairingDevice.pack_g2
@@ -340,6 +534,13 @@ class Bls12381PairingDevice:
     _f12_one = Bn128PairingDevice._f12_one
     _fused = Bn128PairingDevice._fused
     is_one = Bn128PairingDevice.is_one
+    _const_f2 = Bn128PairingDevice._const_f2
+    _bc = Bn128PairingDevice._bc
+    frobenius = Bn128PairingDevice.frobenius
+    _f12_conj = Bn128PairingDevice._f12_conj
+    cyclotomic_square = Bn128PairingDevice.cyclotomic_square
+    _exp_cyc = Bn128PairingDevice._exp_cyc
+    _exp_cyc_window = Bn128PairingDevice._exp_cyc_window
 
     def _sparse(self, a0, b1, b2):
         F = self.base
@@ -406,35 +607,260 @@ class Bls12381PairingDevice:
         Zn = F2.mul(Z, E)
         return self._sparse(a0, b1, b2), Xn, Yn, Zn
 
+    _miller_core = Bn128PairingDevice._miller_core
+
     def miller_loop(self, g1, g2):
-        F2d, F12 = self.F2d, self.F12d
+        F2d = self.F2d
         xP, yP = g1
         xQ, yQ = g2
         f = self._f12_one(xP)
         X, Y, Z = xQ, yQ, F2d.one_like(xQ)
-        bits = jnp.asarray(self.loop_bits)
-
-        def body(carry, bit):
-            f, X, Y, Z = carry
-            l, X, Y, Z = self._dbl_step(X, Y, Z, xP, yP)
-            f = self._f12_mul(self._f12_sqr(f), l)
-            la, Xa, Ya, Za = self._add_step(X, Y, Z, xQ, yQ, xP, yP)
-            fa = self._f12_mul(f, la)
-            take = bit != 0
-            f = F12.select(take, fa, f)
-            X = F2d.select(take, Xa, X)
-            Y = F2d.select(take, Ya, Y)
-            Z = F2d.select(take, Za, Z)
-            return (f, X, Y, Z), None
-
-        (f, X, Y, Z), _ = jax.lax.scan(body, (f, X, Y, Z), bits)
+        f, X, Y, Z = self._miller_core(f, X, Y, Z, xQ, yQ, xP, yP)
         # negative loop: conjugate (== inverse after final exponentiation)
         return (f[0], self.F6d.neg(f[1]))
 
-    final_exponentiation = Bn128PairingDevice.final_exponentiation
+    def final_exponentiation(self, f):
+        """f^((q^12-1)/r), easy/hard split.  Easy part as in BN128; hard
+        part = exact (q^4-q^2+1)/r via a 4-bit-window cyclotomic ladder
+        (~1270 Granger-Scott squarings + ~330 multiplies, vs the ~4300-bit
+        full-exponent ladder)."""
+        F12 = self.F12d
+        t = self._f12_mul(self._f12_conj(f), F12.inv(f))
+        t = self._f12_mul(self.frobenius(t, 2), t)
+        return self._exp_cyc_window(t, self._hard_exp, w=4)
+
+    final_exponentiation_scan = Bn128PairingDevice.final_exponentiation_scan
     pairing_product = Bn128PairingDevice.pairing_product
 
 
 @functools.lru_cache(maxsize=1)
 def bls12381_pairing_device() -> Bls12381PairingDevice:
     return Bls12381PairingDevice()
+
+
+class Mnt6753PairingDevice:
+    """Device pairing engine for MNT6753 — batched pairs in lanes over the
+    753-bit field (48 limbs).
+
+    Inversion-free Miller loop on homogeneous twist coordinates over Fp3;
+    per-step line values are scaled by Fp3-subfield factors (killed by the
+    (q^3-1) factor of the final exponentiation); the line is sparse in
+    F6 = F3[w]: a0 + b*w with a0, b in F3 — the same shape as the
+    reference's EV_at_P pair (build_mnt6753.js:694-802).  Positive ate
+    loop, no correction steps; final exponentiation is one scan over the
+    static bits of (q^3-1)(q+1)(q+w0) (== the reference's committed full
+    exponent).  The step algebra is validated against the host oracle,
+    which both Coda test vectors pin down."""
+
+    def __init__(self):
+        from ..models.mnt6753 import (
+            mnt6753, Q, ATE_LOOP_COUNT, FINAL_EXP_W0, NR)
+
+        self.m = mnt6753()
+        self.fp = FpDevice(self.m.fp_spec)
+        base = FpAdapter(self.fp)
+        self.base = base
+        self.F3d = F3Device(base, lambda a: base.mul_small(a, NR))
+
+        def mulv(a):
+            return (base.mul_small(a[2], NR), a[0], a[1])
+
+        self.mulv = mulv
+        self.F6d = F2Device(self.F3d, mulv)
+
+        self.loop_bits = np.array(
+            [int(b) for b in bin(ATE_LOOP_COUNT)[3:]], dtype=np.uint32)
+        E = (Q ** 3 - 1) * (Q + 1) * (Q + FINAL_EXP_W0)
+        self.finexp_bits = np.array([int(b) for b in bin(E)[2:]],
+                                    dtype=np.uint32)
+        self._w0 = FINAL_EXP_W0
+
+        # F6-over-Fp Frobenius coefficients: component k (power of
+        # nr^(1/6), k = (0,2,4,1,3,5) across (a0,a1,a2,b0,b1,b2)) picks up
+        # the *Fp scalar* nr^(k (q-1)/6) under x -> x^q (the base field is
+        # Fp, so no conjugation) — build_mnt6753.js:1008-1070.
+        e1 = (Q - 1) // 6
+        self._frob_fp = tuple(
+            jnp.asarray(self.fp.pack_mont([pow(NR, k * e1, Q)]))
+            for k in range(1, 6))
+
+        self._NR = NR
+
+    _fused = Bn128PairingDevice._fused
+
+    def _mul_nr_base(self, a):
+        return self.base.mul_small(a, self._NR)
+
+    # -- marshalling -----------------------------------------------------------
+
+    def pack_g1(self, points):
+        xs = self.fp.pack_mont([p[0] for p in points])
+        ys = self.fp.pack_mont([p[1] for p in points])
+        return (jnp.asarray(xs), jnp.asarray(ys))
+
+    def pack_g2(self, points):
+        """affine Fp3 points ((x0,x1,x2),(y0,y1,y2)) -> plane tuples."""
+        def comp(i, j):
+            return jnp.asarray(self.fp.pack_mont([p[i][j] for p in points]))
+        return (tuple(comp(0, j) for j in range(3)),
+                tuple(comp(1, j) for j in range(3)))
+
+    def unpack_f6(self, el):
+        flat = [self.fp.unpack_mont(np.asarray(c)) for c in (*el[0], *el[1])]
+        n = len(flat[0])
+        return [((flat[0][b], flat[1][b], flat[2][b]),
+                 (flat[3][b], flat[4][b], flat[5][b])) for b in range(n)]
+
+    def _f6_one(self, like):
+        F = self.base
+        one = F.one_like(like)
+        z = F.zero_like(like)
+        return ((one, z, z), (z, z, z))
+
+    # -- fused / composed ops ---------------------------------------------------
+
+    def _f6_mul(self, a, b):
+        if self._fused():
+            from .tower_pallas import mnt_f6_mul_pallas
+            return mnt_f6_mul_pallas(self.fp.spec, a, b)
+        return self.F6d.mul(a, b)
+
+    def _f6_sqr(self, a):
+        if self._fused():
+            from .tower_pallas import mnt_f6_sqr_pallas
+            return mnt_f6_sqr_pallas(self.fp.spec, a)
+        return self.F6d.square(a)
+
+    def _dbl_step(self, X, Y, Z, xP, yP):
+        if self._fused():
+            from .tower_pallas import mnt_miller_dbl_pallas
+            return mnt_miller_dbl_pallas(self.fp.spec, X, Y, Z, xP, yP)
+        from .tower_pallas import mnt_dbl_formula
+        return mnt_dbl_formula(self.base, self.F3d, self.mulv,
+                               X, Y, Z, xP, yP)
+
+    def _add_step(self, X, Y, Z, x2, y2, xP, yP):
+        if self._fused():
+            from .tower_pallas import mnt_miller_add_pallas
+            return mnt_miller_add_pallas(self.fp.spec, X, Y, Z, x2, y2, xP, yP)
+        from .tower_pallas import mnt_add_formula
+        return mnt_add_formula(self.base, self.F3d, self.mulv,
+                               X, Y, Z, x2, y2, xP, yP)
+
+    # -- Miller loop / final exponentiation -------------------------------------
+
+    def miller_loop(self, g1, g2):
+        """Segment-scan ate ladder (same organization as the BN128/BLS
+        engines: adds run only on 1-bits, two traced bodies)."""
+        F3d = self.F3d
+        xP, yP = g1
+        xQ, yQ = g2
+        f = self._f6_one(xP)
+        X, Y, Z = xQ, yQ, F3d.one_like(xQ)
+        segs, tail = _bit_segments(self.loop_bits)
+
+        def dbl_once(_, st):
+            f, X, Y, Z = st
+            l, X, Y, Z = self._dbl_step(X, Y, Z, xP, yP)
+            return (self._f6_mul(self._f6_sqr(f), l), X, Y, Z)
+
+        def seg_body(st, k):
+            st = jax.lax.fori_loop(0, k, dbl_once, st)
+            f, X, Y, Z = st
+            l, X, Y, Z = self._add_step(X, Y, Z, xQ, yQ, xP, yP)
+            return (self._f6_mul(f, l), X, Y, Z), None
+
+        st = (f, X, Y, Z)
+        if len(segs):
+            st, _ = jax.lax.scan(seg_body, st, jnp.asarray(segs))
+        if tail:
+            st = jax.lax.fori_loop(0, tail, dbl_once, st)
+        return st[0]
+
+    def frobenius(self, f):
+        """f^q on F6 over Fp: per-component Fp-scalar multiply by the
+        precomputed nr^(k(q-1)/6) coefficients (no conjugation — the
+        components are Fp elements)."""
+        F = self.base
+        (a0, a1, a2), (b0, b1, b2) = f
+        like = a0
+        g = [jnp.broadcast_to(
+            c.reshape((self.fp.L,) + (1,) * (like.ndim - 1)), like.shape)
+            for c in self._frob_fp]
+        return ((a0, F.mul(a1, g[1]), F.mul(a2, g[3])),
+                (F.mul(b0, g[0]), F.mul(b1, g[2]), F.mul(b2, g[4])))
+
+    def _f6_conj(self, f):
+        """f^(q^3) = conjugation over F3 (w -> -w)."""
+        return (f[0], self.F3d.neg(f[1]))
+
+    def cyclotomic_square(self, f):
+        """Granger-Scott squaring on the F6 cyclotomic subgroup — the same
+        quadratic-over-cubic tower shape as F12, with base Fp
+        (build_mnt6753.js:1071-1243)."""
+        if self._fused():
+            from .tower_pallas import mnt_f6_cyc_sqr_pallas
+            return mnt_f6_cyc_sqr_pallas(self.fp.spec, f)
+        from .towers import gs_cyclotomic_square
+        return gs_cyclotomic_square(self.base, self._mul_nr_base, f)
+
+    def final_exponentiation(self, f):
+        """f^((q^3-1)(q+1)(q+w0)), easy/hard split
+        (build_mnt6753.js:1244-1314).  Easy part: conj(f) * f^-1 (the
+        q^3-1 chunk), then * Frobenius (the q+1 chunk).  Hard part:
+        frob(t) * t^w0 with w0 under a 4-bit-window cyclotomic ladder —
+        ~753 Granger-Scott squarings + ~190 multiplies instead of the
+        ~3765-bit full-exponent ladder."""
+        F6 = self.F6d
+        t = self._f6_mul(self._f6_conj(f), F6.inv(f))
+        t = self._f6_mul(self.frobenius(t), t)
+        tw = _windowed_cyc_exp(
+            self._f6_one(_leaf0(t)), self._f6_mul, self.cyclotomic_square,
+            F6.select, t, self._w0, w=4)
+        return self._f6_mul(self.frobenius(t), tw)
+
+    def final_exponentiation_scan(self, f):
+        """Full-exponent ladder — self-check reference for the fast path."""
+        F6 = self.F6d
+        bits = jnp.asarray(self.finexp_bits[1:])
+
+        def body(r, bit):
+            r = self._f6_sqr(r)
+            rm = self._f6_mul(r, f)
+            return F6.select(bit != 0, rm, r), None
+
+        r, _ = jax.lax.scan(body, f, bits)
+        return r
+
+    def pairing_product(self, g1, g2, n_pairs: int):
+        f = self.miller_loop(g1, g2)
+        k = n_pairs
+        while k > 1:
+            assert k % 2 == 0, "pad pairs to a power of two"
+            half = k // 2
+            left = map_leaf(f, lambda a: a[:, :half])
+            right = map_leaf(f, lambda a: a[:, half:k])
+            f = self._f6_mul(left, right)
+            k = half
+        f = map_leaf(f, lambda a: a[:, 0])
+        return self.final_exponentiation(f)
+
+    def is_eq(self, el, expected):
+        """Batched F6 equality against a host oracle F6 value (canonical)."""
+        exp_planes = tuple(
+            tuple(jnp.asarray(self.fp.pack_mont([c])) for c in comp)
+            for comp in expected)
+        F = self.base
+        m = None
+        for got_c, exp_c in zip((*el[0], *el[1]),
+                                (*exp_planes[0], *exp_planes[1])):
+            e = F.eq(got_c, jnp.broadcast_to(
+                exp_c.reshape((self.fp.L,) + (1,) * (got_c.ndim - 1)),
+                got_c.shape))
+            m = e if m is None else (m & e)
+        return m
+
+
+@functools.lru_cache(maxsize=1)
+def mnt6753_pairing_device() -> Mnt6753PairingDevice:
+    return Mnt6753PairingDevice()

@@ -68,6 +68,10 @@ class FpAdapter:
             r = self.add(r, a)
         return r
 
+    def inv(self, a):
+        """Batched inverse (Fermat ladder, ops/fp.py mont_inv)."""
+        return self.fp.mont_inv(a)
+
 
 class F2Device:
     """Quadratic extension over a base adapter; elements are (c0, c1) tuples.
@@ -135,10 +139,11 @@ class F2Device:
         return (F.mul(a[0], b_base), F.mul(a[1], b_base))
 
     def inv(self, a):
-        """Inverse via norm: requires base to expose inv (FpAdapter only)."""
+        """Inverse via norm (build_f2m.js:353-383); composes through the
+        tower — the base inverse recurses down to the Fp Fermat ladder."""
         F = self.base
         t = F.sub(F.square(a[0]), self.mul_nr(F.square(a[1])))
-        ti = F.fp.mont_inv(t)
+        ti = F.inv(t)
         return (F.mul(a[0], ti), F.neg(F.mul(a[1], ti)))
 
 
@@ -214,3 +219,63 @@ class F3Device:
     def mul_small(self, a, k: int):
         F = self.base
         return tuple(F.mul_small(x, k) for x in a)
+
+    def mul_base(self, a, b_base):
+        F = self.base
+        return tuple(F.mul(x, b_base) for x in a)
+
+    def inv(self, a):
+        """Inverse via adjugate (build_f3m.js:389-444): for x = a0 + a1 v
+        + a2 v^2 with v^3 = nr,  x^-1 = (A + B v + C v^2) / N with
+        A = a0^2 - nr a1 a2, B = nr a2^2 - a0 a1, C = a1^2 - a0 a2,
+        N = a0 A + nr (a2 B + a1 C).  Composes through the tower."""
+        F = self.base
+        nr = self.mul_nr
+        A = F.sub(F.square(a[0]), nr(F.mul(a[1], a[2])))
+        B = F.sub(nr(F.square(a[2])), F.mul(a[0], a[1]))
+        C = F.sub(F.square(a[1]), F.mul(a[0], a[2]))
+        N = F.add(F.mul(a[0], A),
+                  nr(F.add(F.mul(a[2], B), F.mul(a[1], C))))
+        Ni = F.inv(N)
+        return (F.mul(A, Ni), F.mul(B, Ni), F.mul(C, Ni))
+
+
+def gs_cyclotomic_square(B, mul_nr, f):
+    """Granger-Scott cyclotomic squaring, generic over the quadratic-over-
+    cubic tower shape ((a0,a1,a2),(b0,b1,b2)) with w^2 = v, v^3 = nr:
+    9 base-field squarings instead of a full quadratic-tower square
+    (the reference's __cyclotomicSquare, build_bn128.js:980-1089).
+
+    B is the base adapter (F2Device for the F12 towers, FpAdapter for
+    MNT6753's F6); mul_nr multiplies by the cubic non-residue.  Valid only
+    on the cyclotomic subgroup (after the easy part of the final
+    exponentiation), where the algebraic relations of unitary elements
+    make the compressed form exact."""
+    (a0, a1, a2), (b0, b1, b2) = f
+
+    def two(x):
+        return B.add(x, x)
+
+    def three(x):
+        return B.add(two(x), x)
+
+    def sq2(x, y):
+        """(x^2, y^2, 2xy) with one squaring for the cross term."""
+        sx, sy = B.square(x), B.square(y)
+        cross = B.sub(B.sub(B.square(B.add(x, y)), sx), sy)
+        return sx, sy, cross
+
+    s_b1, s_a0, c_a0b1 = sq2(b1, a0)
+    s_a2, s_b0, c_a2b0 = sq2(a2, b0)
+    s_b2, s_a1, c_a1b2 = sq2(b2, a1)
+    t0 = B.add(mul_nr(s_b1), s_a0)
+    t2 = B.add(mul_nr(s_a2), s_b0)
+    t4 = B.add(mul_nr(s_b2), s_a1)
+    t8 = mul_nr(c_a1b2)
+    na0 = B.sub(three(t0), two(a0))
+    na1 = B.sub(three(t2), two(a1))
+    na2 = B.sub(three(t4), two(a2))
+    nb0 = B.add(three(t8), two(b0))
+    nb1 = B.add(three(c_a0b1), two(b1))
+    nb2 = B.add(three(c_a2b0), two(b2))
+    return ((na0, na1, na2), (nb0, nb1, nb2))
