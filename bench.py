@@ -1,19 +1,24 @@
-"""Benchmark driver: BN128 G1 MSM throughput on one TPU chip.
+"""Benchmark driver: BN128 proving-stack throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "points/s", "vs_baseline": x, ...}
+Prints ONE JSON line.  Headline metric: G1 MSM points/sec/chip at 2^20
+(BASELINE.json), with the supporting sweep carried as extra keys:
+Fr Montgomery-mul throughput, NTT 2^20 wall time, full Groth16 prove
+latency on a 2^20-constraint circuit, and correctness checks for each
+(the MSM result is verified against a host scalar-mul identity; the proof
+is verified with the oracle verifier).
 
 Baseline anchor (documented, since the reference publishes no numbers and
 node.js is absent from this image — BASELINE.md):  wasmsnark's production
-MSM (g1m_multiexp2, w=7; src/build_multiexp.js:583-838) performs ~367
-Jacobian adds per 7-point group (256 accumulator adds + ~111 expected lazy
-subset-sum fills) ~= 52 adds/point; at ~16 Montgomery muls/add and the
-~80 ns/mul wasmsnark's own 50M-mul harness exhibits on a modern core
-(test/f1.js:680-770 class hardware), that is ~67 us/point/core, or
-~1.2e5 points/s on the reference's default 8-worker pool
-(src/bn128.js:209-215).  vs_baseline = ours / 1.2e5.
+MSM (g1m_multiexp2, w=7; src/build_multiexp.js:583-838) performs ~52
+Jacobian adds per point at ~16 Montgomery muls/add and the ~80 ns/mul
+wasmsnark's own 50M-mul harness exhibits on a modern core
+(test/f1.js:680-770 class hardware): ~67 us/point/core, or ~1.2e5 points/s
+on the reference's default 8-worker pool (src/bn128.js:209-215).
+vs_baseline = ours / 1.2e5.
 
-Env knobs: BENCH_MSM_BITS (default 18), BENCH_WINDOW_BITS (default 16).
+Env knobs: BENCH_MSM_BITS (default 20), BENCH_WINDOW_BITS (default 16),
+BENCH_PROVE_BITS (default = BENCH_MSM_BITS; 0 skips the prove section),
+BENCH_SKIP_NTT / BENCH_SKIP_FR (set to skip sections).
 """
 
 import json
@@ -24,85 +29,175 @@ import time
 import numpy as np
 
 
-def main():
+def _time_reps(fn, reps=3):
+    import jax
+    fn()  # warm (compile)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+def bench_msm(out):
     import jax
     import jax.numpy as jnp
+    import random
 
     from wasmsnark_tpu.models.bn128 import bn128, R
     from wasmsnark_tpu.ops.fp import FpDevice
     from wasmsnark_tpu.ops.towers import FpAdapter
     from wasmsnark_tpu.ops.curve import JacobianDevice
     from wasmsnark_tpu.ops.msm import MSMDevice
-    from wasmsnark_tpu.utils.serialize import ints_to_limbs
+    from wasmsnark_tpu.ops.fixed_base import FixedBase
+    from wasmsnark_tpu.utils.serialize import ints_to_limbs_fast
 
-    bits = int(os.environ.get("BENCH_MSM_BITS", "18"))
-    wbits = int(os.environ.get("BENCH_WINDOW_BITS", "12"))
+    bits = int(os.environ.get("BENCH_MSM_BITS", "20"))
+    wbits = int(os.environ.get("BENCH_WINDOW_BITS", "16"))
     n = 1 << bits
 
     m = bn128()
     Fp = FpDevice(m.fp_spec)
     G1d = JacobianDevice(FpAdapter(Fp))
-    msm = MSMDevice(G1d, window_bits=wbits)
+    msm = MSMDevice(G1d, window_bits=wbits, group_windows=8)
 
-    # --- inputs: distinct pseudo-random points k_i * G built on device ---
-    rng = np.random.default_rng(0)
-    kbits = jnp.asarray(rng.integers(0, 2, size=(64, n), dtype=np.uint32))
-    gen = m.G1.affine(m.g1_gen)
-    base = tuple(
-        jnp.broadcast_to(jnp.asarray(Fp.pack_mont([c])), (Fp.L, n))
-        for c in gen[:3]
-    )
-
-    @jax.jit
-    def make_points(kbits):
-        def body(i, acc):
-            acc = G1d.double(acc)
-            added = G1d.add(acc, base)
-            return G1d.select(kbits[i] != 0, added, acc)
-        zero = G1d.zero_like(base)
-        return jax.lax.fori_loop(0, 64, body, zero)
-
+    # --- inputs: distinct points k_i * G via the fixed-base engine ---
+    rng = random.Random(0)
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    scal_ints = [rng.randrange(R) for _ in range(n)]
     t0 = time.time()
-    points = jax.block_until_ready(make_points(kbits))
+    fb = FixedBase(G1d, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
+    points = jax.block_until_ready(
+        jax.jit(fb.points_affine)(jnp.asarray(ints_to_limbs_fast(ks, 16))))
     gen_time = time.time() - t0
+    scalars = jnp.asarray(ints_to_limbs_fast(scal_ints, 16))
 
-    scalars = jnp.asarray(ints_to_limbs(
-        [int.from_bytes(rng.bytes(32), "little") % R for _ in range(n)], 16))
-
-    from wasmsnark_tpu.ops.msm import fold_windows
-
-    def full(scalars, points):
-        win = run(scalars, points)
-        xs = Fp.unpack_mont(np.asarray(win[0]))
-        ys = Fp.unpack_mont(np.asarray(win[1]))
-        zs = Fp.unpack_mont(np.asarray(win[2]))
-        return fold_windows(m.G1, list(zip(xs, ys, zs)), wbits)
-
-    run = jax.jit(msm.msm)
+    run = jax.jit(msm.msm_point)
     t0 = time.time()
-    full(scalars, points)
+    res = jax.block_until_ready(run(scalars, points))
     compile_time = time.time() - t0
 
-    reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        res = full(scalars, points)
-    dt = (time.time() - t0) / reps
+    dt = _time_reps(lambda: run(scalars, points))
 
-    pps = n / dt
-    baseline = 1.2e5  # wasmsnark 8-worker CPU anchor (see module docstring)
-    out = {
+    # --- correctness: sum s_i * (k_i G) == (sum s_i k_i) G ---
+    got = tuple(Fp.unpack_mont(np.asarray(c)[:, None])[0] for c in res)
+    expected_k = sum(s * k for s, k in zip(scal_ints, ks)) % R
+    expected = m.G1.times_scalar(m.g1_gen, expected_k)
+    ok = bool(m.G1.eq(expected, got)) if not m.G1.is_zero(expected) \
+        else bool(m.G1.is_zero(got))
+
+    out.update({
         "metric": f"BN128 G1 MSM points/sec/chip @ 2^{bits}",
-        "value": round(pps, 1),
+        "value": round(n / dt, 1),
         "unit": "points/s",
-        "vs_baseline": round(pps / baseline, 3),
+        "vs_baseline": round(n / dt / 1.2e5, 3),
         "msm_seconds": round(dt, 3),
+        "msm_result_ok": ok,
         "window_bits": wbits,
-        "compile_seconds": round(compile_time, 1),
+        "msm_compile_seconds": round(compile_time, 1),
         "point_gen_seconds": round(gen_time, 1),
-        "device": str(jax.devices()[0]),
-    }
+    })
+    return ok
+
+
+def bench_ntt(out):
+    import jax
+    import jax.numpy as jnp
+    from wasmsnark_tpu.models.bn128 import bn128
+    from wasmsnark_tpu.ops.fp import FpDevice
+    from wasmsnark_tpu.ops.ntt import NTTDevice
+
+    bits = int(os.environ.get("BENCH_NTT_BITS", "20"))
+    m = bn128()
+    Fr = FpDevice(m.fr_spec)
+    ntt = NTTDevice(m.ntt_spec, Fr)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(m.fr_spec.n_limbs, 1 << bits),
+                     dtype=np.uint32))
+    fwd = jax.jit(ntt.fft)
+    t0 = time.time()
+    jax.block_until_ready(fwd(x))
+    compile_t = time.time() - t0
+    dt = _time_reps(lambda: fwd(x))
+    out.update({
+        f"ntt_2^{bits}_seconds": round(dt, 4),
+        "ntt_compile_seconds": round(compile_t, 1),
+    })
+
+
+def bench_fr_mul(out):
+    import jax
+    import jax.numpy as jnp
+    from wasmsnark_tpu.models.bn128 import bn128
+    from wasmsnark_tpu.ops.fp import FpDevice
+
+    m = bn128()
+    Fr = FpDevice(m.fr_spec)
+    B = 1 << 20
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.integers(0, 1 << 16, size=(Fr.L, B), dtype=np.uint32))
+    CH = 16
+
+    @jax.jit
+    def chain(x):
+        for _ in range(CH):
+            x = Fr.mont_mul(x, x)
+        return x
+
+    dt = _time_reps(lambda: chain(x))
+    out["fr_mont_mul_per_sec"] = round(CH * B / dt, 0)
+
+
+def bench_prove(out):
+    import jax
+    from wasmsnark_tpu.groth16.setup import (
+        setup, square_chain_circuit, square_chain_witness)
+    from wasmsnark_tpu.groth16.prover import Groth16Prover
+    from wasmsnark_tpu.groth16.verifier import groth16_verify
+
+    bits = int(os.environ.get(
+        "BENCH_PROVE_BITS", os.environ.get("BENCH_MSM_BITS", "20")))
+    if bits == 0:
+        return True
+    k = (1 << bits) - 2  # constraints + 2 binding rows -> domain exactly 2^bits
+    t0 = time.time()
+    r1cs = square_chain_circuit(k)
+    pkey, vk, _ = setup(r1cs, seed=3)
+    setup_t = time.time() - t0
+    wit = square_chain_witness(k, 0xABCDEF)
+
+    prover = Groth16Prover()
+    t0 = time.time()
+    proof = prover.prove(wit, pkey, rng=42)
+    first = time.time() - t0
+    t0 = time.time()
+    proof = prover.prove(wit, pkey, rng=43)
+    steady = time.time() - t0
+    ok = groth16_verify(vk, [wit[1]], proof)
+    out.update({
+        f"prove_2^{bits}_seconds": round(steady, 2),
+        "prove_first_call_seconds": round(first, 1),
+        "setup_seconds": round(setup_t, 1),
+        "proof_verified": bool(ok),
+    })
+    return bool(ok)
+
+
+def main():
+    import jax
+
+    out = {"device": str(jax.devices()[0])}
+    ok = bench_msm(out)
+    if not os.environ.get("BENCH_SKIP_NTT"):
+        bench_ntt(out)
+    if not os.environ.get("BENCH_SKIP_FR"):
+        bench_fr_mul(out)
+    if not os.environ.get("BENCH_SKIP_PROVE"):
+        ok = bench_prove(out) and ok
+    out["all_checks_ok"] = bool(ok)
     print(json.dumps(out))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -74,4 +74,45 @@ void points_to_planes(const uint8_t* data, size_t n_points,
     }
 }
 
+// Sparse QAP section parser (tools/buildpkey.js:79-89 record layout):
+// per signal: u32 nCoefs, then nCoefs x (u32 coefIdx, n8-byte Fr Mont).
+// Pass 1 returns the total coefficient count (or (size_t)-1 on a
+// truncated section); pass 2 fills sig_idx/coef_idx (int32) and copies
+// the packed Fr bytes contiguously for one vectorized limb decompose.
+static inline uint32_t rd_u32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;  // little-endian hosts only (x86/ARM this image)
+}
+
+size_t count_sparse_coefs(const uint8_t* data, size_t len, size_t n_signals,
+                          size_t n8) {
+    size_t off = 0, total = 0;
+    const size_t rec = 4 + n8;
+    for (size_t i = 0; i < n_signals; ++i) {
+        if (off + 4 > len) return (size_t)-1;
+        const uint32_t n = rd_u32(data + off);
+        off += 4 + (size_t)n * rec;
+        if (off > len) return (size_t)-1;
+        total += n;
+    }
+    return total;
+}
+
+void parse_sparse(const uint8_t* data, size_t n_signals, size_t n8,
+                  int32_t* sig_idx, int32_t* coef_idx, uint8_t* coef_bytes) {
+    size_t off = 0, k = 0;
+    for (size_t i = 0; i < n_signals; ++i) {
+        const uint32_t n = rd_u32(data + off);
+        off += 4;
+        for (uint32_t j = 0; j < n; ++j, ++k) {
+            sig_idx[k] = (int32_t)i;
+            coef_idx[k] = (int32_t)rd_u32(data + off);
+            off += 4;
+            std::memcpy(coef_bytes + k * n8, data + off, n8);
+            off += n8;
+        }
+    }
+}
+
 }  // extern "C"

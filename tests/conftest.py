@@ -18,7 +18,13 @@ import os
 if "WASMSNARK_TPU_TEST_BACKEND" in os.environ:
     os.environ["JAX_PLATFORMS"] = os.environ["WASMSNARK_TPU_TEST_BACKEND"]
 else:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # default tier runs on CPU: fast, parallel-safe, and does not contend
+    # for the single tunneled TPU (the axon sitecustomize hook force-selects
+    # the TPU whenever PALLAS_AXON_POOL_IPS is set, overriding
+    # JAX_PLATFORMS — clear it so "cpu" really means cpu)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,8 +1,9 @@
-"""Stage-level MSM profile on the real chip: argsort / seg-scan / bucket
-gather / triangle fold timed separately (each stage jitted in isolation,
-block_until_ready bracketing).  Usage:
+"""Stage-level MSM profile on the real chip: signed-recode / argsort /
+point gather / mixed seg-scan / bucket gather / triangle fold timed
+separately (each stage jitted in isolation, block_until_ready bracketing).
+Stages mirror ops/msm.py MSMDevice._window_group for one window group.
 
-    python tools/profile_msm.py [--bits 18] [--window 12]
+    python tools/profile_msm.py [--bits 18] [--window 16] [--groups 8]
 """
 
 import argparse
@@ -18,83 +19,71 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=18)
-    ap.add_argument("--window", type=int, default=12)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--groups", type=int, default=8,
+                    help="windows per group (group_windows)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import random
 
     from wasmsnark_tpu.models.bn128 import bn128, R
     from wasmsnark_tpu.ops.fp import FpDevice
     from wasmsnark_tpu.ops.towers import FpAdapter
     from wasmsnark_tpu.ops.curve import JacobianDevice, map_leaf
     from wasmsnark_tpu.ops.msm import MSMDevice
-    from wasmsnark_tpu.ops.scan import seg_scan_parts, prefix_scan, reduce_last
-    from wasmsnark_tpu.utils.serialize import ints_to_limbs
+    from wasmsnark_tpu.ops.fixed_base import FixedBase
+    from wasmsnark_tpu.ops.scan import seg_scan_parts_mixed, prefix_scan, reduce_last
+    from wasmsnark_tpu.utils.serialize import ints_to_limbs_fast
 
     n = 1 << args.bits
     m = bn128()
     Fp = FpDevice(m.fp_spec)
     C = JacobianDevice(FpAdapter(Fp))
-    msm = MSMDevice(C, window_bits=args.window)
+    msm = MSMDevice(C, window_bits=args.window, group_windows=args.groups)
 
-    rng = np.random.default_rng(0)
-    # synthetic distinct points: mont-form planes from a doubling ladder
-    gen = m.G1.affine(m.g1_gen)
-    base = tuple(jnp.broadcast_to(jnp.asarray(Fp.pack_mont([c])), (Fp.L, n))
-                 for c in gen[:3])
-    kbits = jnp.asarray(rng.integers(0, 2, size=(40, n), dtype=np.uint32))
+    rng = random.Random(0)
+    ks = [rng.randrange(1, R) for _ in range(n)]
+    fb = FixedBase(C, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
+    points = jax.block_until_ready(
+        jax.jit(fb.points_affine)(jnp.asarray(ints_to_limbs_fast(ks, 16))))
+    scalars = jnp.asarray(ints_to_limbs_fast(
+        [rng.randrange(R) for _ in range(n)], 16))
 
-    @jax.jit
-    def make_points(kbits):
-        def body(i, acc):
-            acc = C.double(acc)
-            added = C.add(acc, base)
-            take = kbits[i] != 0
-            return map_leaf2(added, acc, take)
-
-        def map_leaf2(a, b, take):
-            return jax.tree.map(lambda x, y: jnp.where(take[None], x, y), a, b)
-
-        acc = jax.tree.map(lambda a: jnp.zeros_like(a), base)
-        return jax.lax.fori_loop(0, 40, body, acc)
-
-    points = jax.block_until_ready(make_points(kbits))
-    scalars = jnp.asarray(
-        ints_to_limbs([int(x) for x in
-                       rng.integers(0, 1 << 62, size=n)], 16)) \
-        if False else jnp.asarray(np.asarray(
-            ints_to_limbs([int.from_bytes(rng.bytes(32), "little") % R
-                           for _ in range(n)], 16)))
-
-    d_all = jax.jit(msm._digits)(scalars)
-    W, N = d_all.shape
-    B = 1 << msm.c
-    print(f"n=2^{args.bits} c={msm.c} W={W} buckets/window={B}")
-
-    # stage jits
-    @jax.jit
-    def stage_sort(d_all):
-        order = jnp.argsort(d_all, axis=-1)
-        d = jnp.take_along_axis(d_all, order, axis=-1)
-        return order, d
+    mag_all, neg_all = jax.jit(msm.signed_digits)(scalars)
+    G = min(args.groups, mag_all.shape[0])
+    mag, neg = mag_all[:G], neg_all[:G]
+    W_total, N = mag_all.shape
+    B = (1 << (msm.c - 1)) + 1
+    print(f"n=2^{args.bits} c={msm.c} W={W_total} group={G} "
+          f"buckets/window={B}")
 
     @jax.jit
-    def stage_gather(order, points):
-        return map_leaf(points, lambda a: jnp.take(a, order, axis=-1))
+    def stage_sort(mag, neg):
+        order = jnp.argsort(mag, axis=-1)
+        d = jnp.take_along_axis(mag, order, axis=-1)
+        sgn = jnp.take_along_axis(neg, order, axis=-1)
+        return order, d, sgn
+
+    @jax.jit
+    def stage_gather(order, sgn, points):
+        F = C.F
+        p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))
+        return (p[0], F.select(sgn, F.neg(p[1]), p[1]))
 
     @jax.jit
     def stage_scan(d, p):
         prev = jnp.concatenate(
-            [jnp.full((W, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
+            [jnp.full((G, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
         flags = d != prev
-        return seg_scan_parts(C, flags, p)
+        return seg_scan_parts_mixed(C, flags, p)
 
     @jax.jit
     def stage_buckets(d, local, incoming, K):
         bvals = jnp.arange(B, dtype=jnp.uint32)
-        counts = jnp.zeros((W, B), jnp.int32).at[
-            jnp.arange(W, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
+        counts = jnp.zeros((G, B), jnp.int32).at[
+            jnp.arange(G, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
         ].add(1, mode="drop")
         ends = jnp.cumsum(counts, axis=-1)
         pos = jnp.maximum(ends - 1, 0)
@@ -127,18 +116,21 @@ def main():
             out = jax.block_until_ready(fn(*a))
         return (time.time() - t0) / reps, out
 
-    t_sort, (order, d) = timeit(stage_sort, d_all)
-    t_gather, p = timeit(stage_gather, order, points)
+    t_sort, (order, d, sgn) = timeit(stage_sort, mag, neg)
+    t_gather, p = timeit(stage_gather, order, sgn, points)
     t_scan, (local, incoming, K) = timeit(stage_scan, d, p)
     t_buckets, buckets = timeit(
         lambda d, l, i: stage_buckets(d, l, i, K), d, local, incoming)
     t_fold, win = timeit(stage_fold, buckets)
     total = t_sort + t_gather + t_scan + t_buckets + t_fold
-    for name, t in [("argsort", t_sort), ("point-gather", t_gather),
-                    ("seg-scan", t_scan), ("bucket-gather", t_buckets),
+    n_groups = -(-W_total // G)
+    for name, t in [("argsort", t_sort), ("gather+neg", t_gather),
+                    ("mixed-scan", t_scan), ("bucket-gather", t_buckets),
                     ("triangle-fold", t_fold)]:
         print(f"{name:14s} {t*1e3:9.1f} ms  {100*t/total:5.1f}%")
-    print(f"{'total':14s} {total*1e3:9.1f} ms  -> {n/total:,.0f} points/s")
+    est = total * n_groups
+    print(f"{'group total':14s} {total*1e3:9.1f} ms x {n_groups} groups "
+          f"~= {est*1e3:.0f} ms -> {n/est:,.0f} points/s")
 
 
 if __name__ == "__main__":

@@ -46,8 +46,9 @@ from ..ops.pol import SparseLC
 class ProvingKey:
     """Parsed proving key with device-ready arrays (all limb planes uint32).
 
-    Point arrays are (x, y, z) limb planes [L, n] in Montgomery form with
-    z in {0, 1}*R (zero points, i.e. x=y=0 in the file, get z=0)."""
+    Point arrays are AFFINE (x, y) limb planes [L, n] in Montgomery form —
+    exactly the file's storage form, which is also what the MSM consumes
+    (ops/msm.py mixed adds); zero points keep the file encoding x=y=0."""
 
     n_signals: int
     n_public: int
@@ -66,30 +67,22 @@ class ProvingKey:
     h_exps: tuple
 
 
-def _g1_planes(fp: FieldSpec, data: bytes, n: int):
-    """n G1 affine Montgomery points (2*n8 bytes each) -> (x, y, z) planes."""
+def _g1_planes(fp: FieldSpec, data, n: int):
+    """n G1 affine Montgomery points (2*n8 bytes each) -> (x, y) planes.
+    Zero points keep the file encoding x=y=0 (the MSM's affine-zero form)."""
     s = fp.n8
     arr = np.frombuffer(data[: n * 2 * s], dtype=np.uint8).reshape(n, 2 * s)
     xs = bytes_to_limbs(arr[:, :s].tobytes(), s, fp.n_limbs)
     ys = bytes_to_limbs(arr[:, s:].tobytes(), s, fp.n_limbs)
-    nz = ((xs != 0).any(axis=0) | (ys != 0).any(axis=0)).astype(np.uint32)
-    one = np.array(fp.limbs(fp.one_mont), dtype=np.uint32)[:, None]
-    zs = (one * nz[None, :]).astype(np.uint32)
-    return xs, ys, zs
+    return xs, ys
 
 
-def _g2_planes(fp: FieldSpec, data: bytes, n: int):
+def _g2_planes(fp: FieldSpec, data, n: int):
     s = fp.n8
     arr = np.frombuffer(data[: n * 4 * s], dtype=np.uint8).reshape(n, 4 * s)
     comps = [bytes_to_limbs(arr[:, s * i: s * (i + 1)].tobytes(), s, fp.n_limbs)
              for i in range(4)]
-    nz = np.zeros(n, dtype=bool)
-    for c in comps:
-        nz |= (c != 0).any(axis=0)
-    one = np.array(fp.limbs(fp.one_mont), dtype=np.uint32)[:, None]
-    z0 = (one * nz.astype(np.uint32)[None, :]).astype(np.uint32)
-    zz = np.zeros_like(z0)
-    return ((comps[0], comps[1]), (comps[2], comps[3]), (z0, zz))
+    return ((comps[0], comps[1]), (comps[2], comps[3]))
 
 
 def _g1_affine_host(fp: FieldSpec, data: bytes):
@@ -105,8 +98,19 @@ def _g2_affine_host(fp: FieldSpec, data: bytes):
     return ((c[0], c[1]), (c[2], c[3]))
 
 
-def _parse_sparse(fr: FieldSpec, data: bytes, n_signals: int, domain: int) -> SparseLC:
+def _parse_sparse(fr: FieldSpec, data, n_signals: int, domain: int) -> SparseLC:
+    """Sparse QAP section -> SparseLC arrays.  Uses the native C++ parser
+    (csrc/marshal.cpp parse_sparse) when built — the Python fallback walks
+    the var-length records interpreted-ly, which matters at 2^20 signals."""
     s = fr.n8
+    from ..utils import native
+    out = native.parse_sparse(data, n_signals, s)
+    if out is not None:
+        sig_idx, coef_idx, coef_bytes = out
+        cf = bytes_to_limbs(coef_bytes.tobytes(), s, fr.n_limbs) \
+            if coef_bytes.size else np.zeros((fr.n_limbs, 0), dtype=np.uint32)
+        return SparseLC(sig_idx=sig_idx, coef_idx=coef_idx, coefs=cf,
+                        domain_size=domain)
     sig_idx, coef_idx, coefs = [], [], []
     off = 0
     for i in range(n_signals):
@@ -115,7 +119,7 @@ def _parse_sparse(fr: FieldSpec, data: bytes, n_signals: int, domain: int) -> Sp
         for _ in range(ncoefs):
             (cidx,) = struct.unpack_from("<I", data, off)
             off += 4
-            coefs.append(data[off: off + s])
+            coefs.append(bytes(data[off: off + s]))
             off += s
             sig_idx.append(i)
             coef_idx.append(cidx)
@@ -129,7 +133,8 @@ def _parse_sparse(fr: FieldSpec, data: bytes, n_signals: int, domain: int) -> Sp
     )
 
 
-def parse_pkey(pkey: bytes, fp_spec: FieldSpec, fr_spec: FieldSpec) -> ProvingKey:
+def parse_pkey(pkey, fp_spec: FieldSpec, fr_spec: FieldSpec) -> ProvingKey:
+    pkey = memoryview(pkey)  # zero-copy section slicing (multi-GB keys)
     h = struct.unpack_from("<10I", pkey, 0)
     n_signals, n_public, domain = h[0], h[1], h[2]
     p_pols_a, p_pols_b, p_a, p_b1, p_b2, p_c, p_h = h[3:]
@@ -157,15 +162,34 @@ def parse_pkey(pkey: bytes, fp_spec: FieldSpec, fr_spec: FieldSpec) -> ProvingKe
     )
 
 
+def _interleave_planes(fp_spec: FieldSpec, comps) -> bytes:
+    """Montgomery limb planes [L, B] (one per point component) -> the file's
+    per-point interleaved LE byte layout, vectorized (native limbs_to_bytes
+    + one numpy transpose) — the bulk-section writer for device-generated
+    keys."""
+    from ..utils.serialize import limbs_to_bytes
+    s = fp_spec.n8
+    mats = [np.frombuffer(limbs_to_bytes(c, s), np.uint8).reshape(-1, s)
+            for c in comps]
+    n = mats[0].shape[0]
+    out = np.empty((n, len(mats), s), np.uint8)
+    for i, mc in enumerate(mats):
+        out[:, i] = mc
+    return out.tobytes()
+
+
 def write_pkey(fp_spec: FieldSpec, fr_spec: FieldSpec, *,
                n_public: int, domain_size: int,
                alfa1, beta1, delta1, beta2, delta2,
                pols_a, pols_b, points_a, points_b1, points_b2,
                points_c, h_exps) -> bytes:
-    """Serialize a proving key (inputs are canonical bigints / dict lists).
+    """Serialize a proving key.
 
     pols_a/pols_b: per-signal dict {coefIdx: Fr canonical int}.
-    points: affine (x, y) canonical bigint pairs or None for zero.
+    points: either a list of affine (x, y) canonical bigint pairs (None for
+    zero) or a tuple of *Montgomery limb planes* ((x, y) for G1,
+    ((x0,x1),(y0,y1)) for G2) as produced by the device fixed-base setup —
+    the planes path writes whole sections vectorized.
     """
     s = fp_spec.n8
 
@@ -182,13 +206,32 @@ def write_pkey(fp_spec: FieldSpec, fr_spec: FieldSpec, *,
         return b"".join(int_to_bytes_le(fp_spec.to_mont(v), s)
                         for v in (x0, x1, y0, y1))
 
+    def g1_sec(pts):
+        if isinstance(pts, tuple):
+            return _interleave_planes(fp_spec, [pts[0], pts[1]])
+        return b"".join(g1(p) for p in pts)
+
+    def g2_sec(pts):
+        if isinstance(pts, tuple):
+            (x0, x1), (y0, y1) = pts
+            return _interleave_planes(fp_spec, [x0, x1, y0, y1])
+        return b"".join(g2(p) for p in pts)
+
+    mont_cache = {}
+
+    def fr_mont_bytes(v):
+        b = mont_cache.get(v)
+        if b is None:
+            b = mont_cache[v] = int_to_bytes_le(fr_spec.to_mont(v), fr_spec.n8)
+        return b
+
     def sparse(pols):
         out = bytearray()
         for p in pols:
             out += struct.pack("<I", len(p))
             for cidx in sorted(p):
                 out += struct.pack("<I", cidx)
-                out += int_to_bytes_le(fr_spec.to_mont(p[cidx]), fr_spec.n8)
+                out += fr_mont_bytes(p[cidx])
         return bytes(out)
 
     n_signals = len(pols_a)
@@ -205,11 +248,11 @@ def write_pkey(fp_spec: FieldSpec, fr_spec: FieldSpec, *,
                          p_pols_a, p_pols_b, p_a, p_b1, p_b2, p_c, p_h)
     body = (header + g1(alfa1) + g1(beta1) + g1(delta1) + g2(beta2) + g2(delta2)
             + sa + sb
-            + b"".join(g1(p) for p in points_a)
-            + b"".join(g1(p) for p in points_b1)
-            + b"".join(g2(p) for p in points_b2)
-            + b"".join(g1(p) for p in points_c)
-            + b"".join(g1(p) for p in h_exps))
+            + g1_sec(points_a)
+            + g1_sec(points_b1)
+            + g2_sec(points_b2)
+            + g1_sec(points_c)
+            + g1_sec(h_exps))
     return body
 
 

@@ -6,10 +6,21 @@ Stage map (reference -> here):
     toMontgomeryN, pol_constructLC x2,          program: to_mont, two
     ifft, fft(odd), interleave, mulN,           constructLC scatter kernels,
     ifft(2N), fromMontgomeryN                   NTT pipeline on limb planes
-  5 x g1/g2_multiexp over worker pool        -> 5 MSMDevice calls (XLA
-    (bn128.js:607-622)                          overlaps them on-stream)
+  5 x g1/g2_multiexp over worker pool        -> 5 MSM device programs, each
+    (bn128.js:607-622)                          folded to ONE point on
+                                                device; all dispatched
+                                                before any host read, so
+                                                the device queue stays full
+                                                (the async analogue of the
+                                                reference's 5 concurrent
+                                                promises)
   main-thread proof assembly                 -> host oracle group ops
     (bn128.js:642-704)                          (a dozen scalar muls)
+
+Multi-chip: pass a jax.sharding.Mesh and every MSM runs point-axis sharded
+(parallel/mesh.py shard_map + ICI partial-sum fold — the reference's
+chunk-per-worker MSM, src/bn128.js:353-415) and the CALC_H pipeline carries
+a domain-axis sharding so GSPMD inserts the NTT collectives.
 
 Randomization parity: r and s are 32 *unreduced* random bytes and the
 r*s term uses their full 512-bit product (bn128.js:642-663, 700-702), so
@@ -26,14 +37,13 @@ import jax
 import jax.numpy as jnp
 
 from ..models.bn128 import bn128
-from ..fields.spec import NTTSpec
 from ..ops.fp import FpDevice
 from ..ops.towers import FpAdapter, F2Device
 from ..ops.curve import JacobianDevice
 from ..ops.msm import MSMDevice
 from ..ops.ntt import NTTDevice
 from ..ops.pol import construct_lc
-from ..utils.serialize import bytes_le_to_int, limbs_to_ints
+from ..utils.serialize import bytes_le_to_int
 from .pkey import parse_pkey, read_witness, ProvingKey
 
 
@@ -55,7 +65,7 @@ class Groth16Prover:
     serves both since every kernel is specialized by FieldSpec)."""
 
     def __init__(self, msm_window_bits: int | None = None,
-                 curve: str = "bn128"):
+                 curve: str = "bn128", mesh=None):
         self.m = _module(curve)
         self.Fp = FpDevice(self.m.fp_spec)
         self.Fr = FpDevice(self.m.fr_spec)
@@ -64,39 +74,46 @@ class Groth16Prover:
         self.G1d = JacobianDevice(a1)
         self.G2d = JacobianDevice(F2Device(a1, a1.neg))
         self.window_bits = msm_window_bits
+        self.mesh = mesh
         self._jit_cache = {}
 
-    def _msm(self, curve_key, scalars, points):
-        """Device window sums + host fold.  Window width scales with MSM size
-        (bucket-fold cost must amortize over N points — the analogue of the
-        reference's fixed w=7 tuning at src/bn128.js:109, picked per size).
-        Returns a host oracle Jacobian point."""
-        from ..ops.msm import fold_windows
+    def _window_for(self, n: int) -> int:
+        """Window width scales with MSM size (bucket-fold cost must amortize
+        over N points — the analogue of the reference's fixed w=7 tuning at
+        src/bn128.js:109, picked per size)."""
+        if self.window_bits:
+            return self.window_bits
+        return 16 if n >= (1 << 16) else 12 if n >= (1 << 12) else 8 \
+            if n >= (1 << 7) else 4
 
+    def _msm(self, curve_key, scalars, points):
+        """Dispatch one MSM folded to a single Jacobian point ON DEVICE.
+        Returns device arrays (no host sync) — read with _point_host()."""
         n = scalars.shape[-1]
-        c = self.window_bits or (12 if n >= (1 << 14) else 8 if n >= (1 << 7) else 4)
-        key = ("msm", curve_key, c)
+        c = self._window_for(n)
+        key = ("msm", curve_key, c, self.mesh is not None)
         if key not in self._jit_cache:
             dev = self.G1d if curve_key == "g1" else self.G2d
-            self._jit_cache[key] = jax.jit(MSMDevice(dev, window_bits=c).msm)
-        win = self._jit_cache[key](scalars, points)
-        if curve_key == "g1":
-            pts = self._g1_windows_host(win)
-            return fold_windows(self.m.G1, pts, c)
-        pts = self._g2_windows_host(win)
-        return fold_windows(self.m.G2, pts, c)
+            # bound gathered/scanned intermediates to <= 8 windows' worth of
+            # HBM at large N (ops/msm.py group_windows knob)
+            msm = MSMDevice(dev, window_bits=c, group_windows=8)
+            if self.mesh is not None:
+                from ..parallel.mesh import msm_sharded_point
+                self._jit_cache[key] = msm_sharded_point(msm, self.mesh)
+            else:
+                self._jit_cache[key] = jax.jit(msm.msm_point)
+        return self._jit_cache[key](scalars, points)
 
     # -- CALC_H (device) ------------------------------------------------------
 
     def calc_h(self, pk: ProvingKey, signals):
         """signals: [L, nSignals] canonical limb planes.  Returns [L, domain]
-        canonical H coefficients (upper half of A*B)."""
+        canonical H coefficients (upper half of A*B), on device."""
         key = ("calc_h", pk.domain_size, signals.shape)
         if key not in self._jit_cache:
             Fr, ntt = self.Fr, self.ntt
             lc_a, lc_b = pk.pols_a, pk.pols_b
 
-            @jax.jit
             def run(sig):
                 sig_m = Fr.to_mont(sig)
                 ea = construct_lc(Fr, lc_a, sig_m)
@@ -112,14 +129,29 @@ class Groth16Prover:
                 cc = ntt.ifft(c2)
                 return Fr.from_mont(cc[:, n:])
 
-            self._jit_cache[key] = run
+            if self.mesh is not None:
+                # domain-axis sharding: GSPMD inserts the collectives
+                # between butterfly super-stages (SURVEY.md §2.5)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ax = self.mesh.axis_names[0]
+                sh = NamedSharding(self.mesh, P(None, ax))
+
+                def sharded(sig):
+                    return jax.lax.with_sharding_constraint(run(sig), sh)
+
+                self._jit_cache[key] = jax.jit(sharded)
+            else:
+                self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key](jnp.asarray(signals))
 
     # -- proof ----------------------------------------------------------------
 
-    def prove(self, witness, pkey_bytes: bytes, rng=None) -> dict:
+    def prove(self, witness, pkey, rng=None) -> dict:
         m = self.m
-        pk = parse_pkey(pkey_bytes, m.fp_spec, m.fr_spec)
+        if isinstance(pkey, ProvingKey):
+            pk = pkey
+        else:
+            pk = parse_pkey(pkey, m.fp_spec, m.fr_spec)
         if isinstance(witness, (bytes, bytearray)):
             signals = read_witness(bytes(witness), m.fr_spec)
         else:
@@ -128,17 +160,24 @@ class Groth16Prover:
                                     m.fr_spec.n_limbs)
         assert signals.shape[1] == pk.n_signals
 
-        h = np.asarray(self.calc_h(pk, signals))
-
+        # ---- dispatch ALL device work before any host read ----
         sig_dev = jnp.asarray(signals)
-        pi_a = self._msm("g1", sig_dev, pk.points_a)
-        pib1 = self._msm("g1", sig_dev, pk.points_b1)
-        pi_b = self._msm("g2", sig_dev, pk.points_b2)
-        pi_c = self._msm("g1", sig_dev[:, pk.n_public + 1:], pk.points_c)
-        p_h = self._msm("g1", jnp.asarray(h), pk.h_exps)
+        h = self.calc_h(pk, sig_dev)
+        d_a = self._msm("g1", sig_dev, pk.points_a)
+        d_b1 = self._msm("g1", sig_dev, pk.points_b1)
+        d_b2 = self._msm("g2", sig_dev, pk.points_b2)
+        d_c = self._msm("g1", sig_dev[:, pk.n_public + 1:], pk.points_c)
+        d_h = self._msm("g1", h, pk.h_exps)
+
+        # ---- single sync point: read back 5 Jacobian points ----
+        pi_a = self._g1_host(d_a)
+        pib1 = self._g1_host(d_b1)
+        pi_b = self._g2_host(d_b2)
+        pi_c = self._g1_host(d_c)
+        p_h = self._g1_host(d_h)
 
         # ---- randomized assembly (bn128.js:642-704) ----
-        G1, G2, F1 = m.G1, m.G2, m.F1
+        G1, G2 = m.G1, m.G2
         if rng is None:
             rnd = os.urandom
         elif callable(rng):
@@ -184,20 +223,16 @@ class Groth16Prover:
 
     # -- device -> host point unmarshalling -----------------------------------
 
-    def _g1_windows_host(self, p):
+    def _g1_host(self, p):
+        """Device Jacobian point (leaves [L]) -> host oracle point."""
         F = self.Fp
-        xs = F.unpack_mont(np.asarray(p[0]))
-        ys = F.unpack_mont(np.asarray(p[1]))
-        zs = F.unpack_mont(np.asarray(p[2]))
-        return list(zip(xs, ys, zs))
+        return tuple(F.unpack_mont(np.asarray(c)[:, None])[0] for c in p)
 
-    def _g2_windows_host(self, p):
+    def _g2_host(self, p):
         F = self.Fp
-        comps = [(F.unpack_mont(np.asarray(c[0])), F.unpack_mont(np.asarray(c[1])))
-                 for c in p]
-        nw = len(comps[0][0])
-        return [tuple((comps[i][0][w], comps[i][1][w]) for i in range(3))
-                for w in range(nw)]
+        return tuple(
+            tuple(F.unpack_mont(np.asarray(cc)[:, None])[0] for cc in c)
+            for c in p)
 
 
 @functools.lru_cache(maxsize=8)

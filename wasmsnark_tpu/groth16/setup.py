@@ -1,4 +1,4 @@
-"""Groth16 trusted setup (test/tooling use), curve-generic.
+"""Groth16 trusted setup (test/tooling use), curve-generic, device-accelerated.
 
 The reference consumes keys produced by old snarkjs ("groth" protocol) via
 tools/buildpkey.js; its committed multi-MB key blobs are stripped from the
@@ -16,6 +16,13 @@ Conventions matched to the reference prover (src/bn128.js:580-720):
   * like old snarkjs, one binding constraint (s_i)*(0) = 0 is appended per
     public signal (including ONE) so public-input A-polynomials are nonzero.
 
+Scale: the point arrays (≈ 5N points at N signals/constraints) are produced
+by the batched fixed-base engine (ops/fixed_base.py) — one device program
+per section instead of N host ladders — so a 2^20-constraint key
+materializes in seconds and streams to disk in the reference binary layout.
+Host-side scalar work uses Montgomery-trick batch inversion for the
+Lagrange denominators.
+
 Any curve module with the standard surface (Fr, G1, G2, ntt_spec, fp/fr
 specs) works — BN128 by default, and BLS12-381 (where the reference builds
 the full WASM module but never wires a prover, SURVEY.md §2.2) through
@@ -26,6 +33,8 @@ from __future__ import annotations
 
 import dataclasses
 import random
+
+import numpy as np
 
 from ..models.bn128 import bn128, R
 from .pkey import write_pkey, write_witness
@@ -55,18 +64,85 @@ def square_chain_circuit(k: int) -> R1CS:
 
 
 def square_chain_witness(r1cs_k: int, x: int, r: int = R):
-    s = [pow(x, 1 << i, r) for i in range(r1cs_k + 1)]
+    s = [x % r]
+    for _ in range(r1cs_k):
+        s.append(s[-1] * s[-1] % r)
     out = s[-1]
-    return [1, out, x % r] + s[1:-1]
+    return [1, out, s[0]] + s[1:-1]
 
 
-def setup(r1cs: R1CS, seed: int = 42, module=None):
+def _batch_inv(vals, q):
+    """Montgomery-trick batch inversion: 3 muls/elem + one pow."""
+    n = len(vals)
+    pref = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % q
+    inv = pow(pref[n], -1, q)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = pref[i] * inv % q
+        inv = inv * vals[i] % q
+    return out
+
+
+def _device_sections(m, scalar_sets):
+    """scalar_sets: list of (name, 'g1'|'g2', [int scalars]).  Returns
+    {name: affine Montgomery planes} computed on device via the fixed-base
+    engine, in batches bounded for HBM."""
+    import jax
+    from ..ops.fp import FpDevice
+    from ..ops.towers import FpAdapter, F2Device
+    from ..ops.curve import JacobianDevice
+    from ..ops.fixed_base import FixedBase
+    from ..utils.serialize import ints_to_limbs_fast
+
+    fr_bits = m.fr_spec.n_limbs * 16
+    Fp = FpDevice(m.fp_spec)
+    a1 = FpAdapter(Fp)
+
+    def pack_comp(vals):
+        return Fp.pack_mont(vals)
+
+    engines = {}
+
+    def engine(kind):
+        if kind not in engines:
+            if kind == "g1":
+                engines[kind] = FixedBase(
+                    JacobianDevice(a1), m.G1, m.g1_gen, pack_comp, fr_bits)
+            else:
+                engines[kind] = FixedBase(
+                    JacobianDevice(F2Device(a1, a1.neg)), m.G2, m.g2_gen,
+                    pack_comp, fr_bits)
+        return engines[kind]
+
+    out = {}
+    CHUNK = 1 << 18
+    for name, kind, scalars in scalar_sets:
+        eng = engine(kind)
+        parts = []
+        for lo in range(0, len(scalars), CHUNK):
+            sl = ints_to_limbs_fast(scalars[lo:lo + CHUNK], m.fr_spec.n_limbs)
+            aff = eng.points_affine(sl)
+            parts.append(jax.tree.map(np.asarray, aff))
+        if len(parts) == 1:
+            out[name] = parts[0]
+        else:
+            out[name] = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=-1), *parts)
+    return out
+
+
+def setup(r1cs: R1CS, seed: int = 42, module=None, accel: bool | None = None):
     """Run the trusted setup; returns (pkey_bytes, vk_dict, toxic) with the
-    toxic waste exposed for test assertions only."""
+    toxic waste exposed for test assertions only.
+
+    accel: True -> generate the point sections on device (fixed-base batch
+    engine); False -> host oracle ladders; None -> auto (device for big
+    circuits)."""
     m = module if module is not None else bn128()
     R = m.Fr.q
     rng = random.Random(seed)
-    Fr = m.Fr
 
     # binding constraints for public signals (old snarkjs convention)
     constraints = list(r1cs.constraints)
@@ -87,11 +163,14 @@ def setup(r1cs: R1CS, seed: int = 42, module=None):
     w = m.ntt_spec.roots[bits]
     z_tau = (pow(tau, domain, R) - 1) % R
     n_inv = pow(domain, -1, R)
-    lag = []
+    wcs = []
     wc = 1
-    for c in range(n_cons):
-        lag.append(wc * z_tau % R * n_inv % R * pow((tau - wc) % R, -1, R) % R)
+    for _ in range(n_cons):
+        wcs.append(wc)
         wc = wc * w % R
+    denom_inv = _batch_inv([(tau - wc) % R for wc in wcs], R)
+    lag = [wcs[c] * z_tau % R * n_inv % R * denom_inv[c] % R
+           for c in range(n_cons)]
 
     # QAP evaluations at tau per signal
     a_tau = [0] * r1cs.n_signals
@@ -123,14 +202,40 @@ def setup(r1cs: R1CS, seed: int = 42, module=None):
     dinv = pow(delta, -1, R)
     ginv = pow(gamma, -1, R)
 
-    points_a = [g1pt(a_tau[i]) for i in range(r1cs.n_signals)]
-    points_b1 = [g1pt(b_tau[i]) for i in range(r1cs.n_signals)]
-    points_b2 = [g2pt(b_tau[i]) for i in range(r1cs.n_signals)]
-    points_c = [
-        g1pt((beta * a_tau[i] + alfa * b_tau[i] + c_tau[i]) % R * dinv % R)
+    k_c = [
+        (beta * a_tau[i] + alfa * b_tau[i] + c_tau[i]) % R * dinv % R
         for i in range(r1cs.n_public + 1, r1cs.n_signals)
     ]
-    h_exps = [g1pt(pow(tau, j, R) * z_tau % R * dinv % R) for j in range(domain)]
+    k_h = []
+    tj = 1
+    zd = z_tau * dinv % R
+    for _ in range(domain):
+        k_h.append(tj * zd % R)
+        tj = tj * tau % R
+
+    if accel is None:
+        accel = (r1cs.n_signals + domain) >= (1 << 12)
+
+    if accel:
+        planes = _device_sections(m, [
+            ("a", "g1", a_tau),
+            ("b1", "g1", b_tau),
+            ("b2", "g2", b_tau),
+            ("c", "g1", k_c),
+            ("h", "g1", k_h),
+        ])
+        points_a = planes["a"]
+        points_b1 = planes["b1"]
+        points_b2 = planes["b2"]
+        points_c = planes["c"]
+        h_exps = planes["h"]
+    else:
+        points_a = [g1pt(a_tau[i]) for i in range(r1cs.n_signals)]
+        points_b1 = [g1pt(b_tau[i]) for i in range(r1cs.n_signals)]
+        points_b2 = [g2pt(b_tau[i]) for i in range(r1cs.n_signals)]
+        points_c = [g1pt(k) for k in k_c]
+        h_exps = [g1pt(k) for k in k_h]
+
     ic = [
         g1pt((beta * a_tau[i] + alfa * b_tau[i] + c_tau[i]) % R * ginv % R)
         for i in range(r1cs.n_public + 1)

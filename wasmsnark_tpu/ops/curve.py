@@ -125,6 +125,64 @@ class JacobianDevice:
     def sub(self, p, q):
         return self.add(p, self.neg(q))
 
+    # -- mixed (Jacobian + affine) arithmetic ---------------------------------
+    #
+    # The MSM's dominant pass adds *affine* pkey points into Jacobian
+    # accumulators; exploiting Z2 = 1 (madd-2007-bl specialization of the
+    # reference's add, build_curve_jacobian_a0.js:280-385) drops ~5 field
+    # muls per add and a third of the gather traffic.  Affine zero is
+    # encoded (0, 0) — the pkey converter's convention for points at
+    # infinity (tools/buildpkey.js stores zero points as all-zero bytes).
+
+    def is_zero_affine(self, q):
+        return self.F.is_zero(q[0]) & self.F.is_zero(q[1])
+
+    def promote(self, q):
+        """Affine (X, Y) -> Jacobian (X, Y, 1); (0, 0) -> (0, 1, 0)."""
+        F = self.F
+        zero = self.is_zero_affine(q)
+        return (q[0],
+                F.select(zero, F.one_like(q[1]), q[1]),
+                F.select(zero, F.zero_like(q[0]), F.one_like(q[0])))
+
+    def madd(self, p, q):
+        """Complete mixed addition: p Jacobian + q affine (X, Y)."""
+        spec = self._fused_spec()
+        if spec is not None:
+            from .curve_pallas import jac_madd_pallas
+            return jac_madd_pallas(spec, p, q)
+        F = self.F
+        X1, Y1, Z1 = p
+        X2, Y2 = q
+        Z1Z1 = F.square(Z1)
+        U2 = F.mul(X2, Z1Z1)
+        S2 = F.mul(Y2, F.mul(Z1, Z1Z1))
+        H = F.sub(U2, X1)
+        r = F.sub(S2, Y1)
+        r = F.add(r, r)
+        HH = F.add(H, H)
+        I = F.square(HH)
+        J = F.mul(H, I)
+        V = F.mul(X1, I)
+        X3 = F.sub(F.sub(F.square(r), J), F.add(V, V))
+        S1J = F.mul(Y1, J)
+        Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.add(S1J, S1J))
+        Z3 = F.mul(F.add(Z1, Z1), H)
+        gen = (X3, Y3, Z3)
+
+        p_zero = self.is_zero(p)
+        q_zero = self.is_zero_affine(q)
+        h_zero = F.is_zero(H)
+        r_zero = F.is_zero(r)
+
+        dbl = self._raw_double(p)
+        zero = self.zero_like(p)
+        out = self.select(h_zero & r_zero, dbl, gen)
+        out = self.select(h_zero & ~r_zero, zero, out)
+        out = self.select(q_zero, p, out)
+        out = self.select(p_zero, self.promote(q), out)
+        return out
+
     def eq(self, p, q):
         """Cross-normalized equality (build_curve_jacobian_a0.js:115-172)."""
         F = self.F

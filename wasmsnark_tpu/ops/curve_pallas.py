@@ -111,6 +111,67 @@ def _jac_add_kernel(L: int, np16: int, q: tuple, one_mont: tuple,
     oz_ref[:] = oz
 
 
+def _jac_madd_kernel(L: int, np16: int, q: tuple, one_mont: tuple,
+                     x1_ref, y1_ref, z1_ref, x2_ref, y2_ref,
+                     ox_ref, oy_ref, oz_ref):
+    """Complete mixed add: (X1,Y1,Z1) Jacobian + (X2,Y2) affine
+    (madd-2007-bl specialization, Z2 = 1; affine zero = (0,0)).
+    11 Montgomery muls on the generic path vs the full add's 16."""
+    mm = lambda a, b: mm_vals(L, np16, q, a, b)
+    add = lambda a, b: add_vals(L, q, a, b)
+    sub = lambda a, b: sub_vals(L, q, a, b)
+
+    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+    X2, Y2 = x2_ref[:], y2_ref[:]
+
+    Z1Z1 = mm(Z1, Z1)
+    U2 = mm(X2, Z1Z1)
+    S2 = mm(Y2, mm(Z1, Z1Z1))
+    H = sub(U2, X1)
+    r = sub(S2, Y1)
+    r = add(r, r)
+    HH = add(H, H)
+    I = mm(HH, HH)
+    J = mm(H, I)
+    V = mm(X1, I)
+    X3 = sub(sub(mm(r, r), J), add(V, V))
+    S1J = mm(Y1, J)
+    Y3 = sub(mm(r, sub(V, X3)), add(S1J, S1J))
+    Z3 = mm(add(Z1, Z1), H)
+
+    dX, dY, dZ = _dbl_vals(L, np16, q, one_mont, X1, Y1, Z1)
+
+    p_zero = is_zero_vals(Z1)[None]
+    q_zero = (is_zero_vals(X2) & is_zero_vals(Y2))[None]
+    h_zero = is_zero_vals(H)[None]
+    r_zero = is_zero_vals(r)[None]
+
+    one = jnp.stack(
+        [jnp.full_like(X1[0], one_mont[k]) for k in range(L)], axis=0)
+    zero = jnp.zeros_like(X1)
+
+    same = h_zero & r_zero
+    inv = h_zero & ~r_zero
+
+    ox = jnp.where(same, dX, X3)
+    oy = jnp.where(same, dY, Y3)
+    oz = jnp.where(same, dZ, Z3)
+    ox = jnp.where(inv, zero, ox)
+    oy = jnp.where(inv, one, oy)
+    oz = jnp.where(inv, zero, oz)
+    ox = jnp.where(q_zero, X1, ox)
+    oy = jnp.where(q_zero, Y1, oy)
+    oz = jnp.where(q_zero, Z1, oz)
+    # p == 0 -> promote(q): (X2, Y2, 1), and (0, 1, 0) when q is zero too
+    ox = jnp.where(p_zero, X2, ox)
+    oy = jnp.where(p_zero, jnp.where(q_zero, one, Y2), oy)
+    oz = jnp.where(p_zero, jnp.where(q_zero, zero, one), oz)
+
+    ox_ref[:] = ox
+    oy_ref[:] = oy
+    oz_ref[:] = oz
+
+
 def _jac_dbl_kernel(L: int, np16: int, q: tuple, one_mont: tuple,
                     x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
     X, Y, Z = x_ref[:], y_ref[:], z_ref[:]
@@ -138,6 +199,10 @@ def _curve_call(spec: FieldSpec, kind: str):
         kern = functools.partial(
             _jac_add_kernel, L, spec.np16, spec.q_limbs, one_mont)
         n_in = 6
+    elif kind == "madd":
+        kern = functools.partial(
+            _jac_madd_kernel, L, spec.np16, spec.q_limbs, one_mont)
+        n_in = 5
     else:
         kern = functools.partial(
             _jac_dbl_kernel, L, spec.np16, spec.q_limbs, one_mont)
@@ -192,6 +257,14 @@ def jac_add_pallas(spec: FieldSpec, p, q):
     bshape = jnp.broadcast_shapes(*[c.shape[1:] for c in (*p, *q)])
     coords = [_expand(c, spec.n_limbs, bshape) for c in (*p, *q)]
     return _dispatch(spec, "add", coords)
+
+
+def jac_madd_pallas(spec: FieldSpec, p, q):
+    """Complete mixed add: p = (X, Y, Z) Jacobian, q = (X, Y) affine."""
+    coords_in = (*p, *q)
+    bshape = jnp.broadcast_shapes(*[c.shape[1:] for c in coords_in])
+    coords = [_expand(c, spec.n_limbs, bshape) for c in coords_in]
+    return _dispatch(spec, "madd", coords)
 
 
 def jac_double_pallas(spec: FieldSpec, p):

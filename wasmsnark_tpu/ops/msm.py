@@ -9,26 +9,40 @@ accumulation expressed as sort + segmented scan, and with *all windows
 processed as one batch axis* so the whole MSM is a handful of large fused
 ops, not a loop:
 
-  * window width = 16 bits = the limb width, so the digit matrix is exactly
-    the scalar limb array [n_windows, N] — no recoding pass;
-  * one vectorized argsort sorts every window's digits at once; one gather
-    pulls points into [.., n_windows, N];
-  * one inclusive segmented scan (jax.lax.associative_scan, log-depth,
-    ~2N*W complete adds) turns equal-digit runs into running bucket sums;
-    the run ends are scattered (unique indices per window, flattened with a
-    per-window offset) into [.., n_windows, 2^16] bucket arrays;
+  * scalars are recoded to **signed digits** in [-2^(c-1), 2^(c-1)]
+    (the device analogue of build_timesscalarnaf.js's signed-digit ladder):
+    negative digits flip the point's Y, halving the bucket range — the
+    triangle fold and bucket arrays cost 2^(c-1)+1 instead of 2^c;
+  * points enter **affine** ((X, Y), zero = (0, 0) — the pkey storage form,
+    tools/buildpkey.js), so the dominant accumulation pass uses the mixed
+    add madd-2007-bl (11 muls) instead of the complete add (16), and point
+    gathers move 2/3 the bytes;
+  * one vectorized argsort sorts every window's digit magnitudes at once;
+    one gather pulls points into [.., n_windows, N];
+  * one chunk-local segmented scan (lax.scan, log-depth carry recursion,
+    ~N*W mixed adds) turns equal-digit runs into running bucket sums; the
+    run ends are located per bucket with a histogram + cumsum (gather, no
+    scatter);
   * the triangle fold sum_b b*S_b = sum_{b'} suffix_sum(S)_{b'} is one more
     batched associative scan over the bucket axis + a log tree reduce;
-  * window results fold with a fori_loop (16 doublings + 1 add per window),
-    traced once.
+  * windows are processed in groups of `group_windows` so peak HBM for the
+    gathered/scanned point arrays stays bounded at large N (2^20-point
+    MSMs with 16-bit windows would otherwise materialize multi-GB
+    intermediates);
+  * the per-window results fold to one point ON DEVICE (fold_windows_device:
+    c doublings + 1 add per window under fori_loop), so a prover can
+    dispatch many MSMs back-to-back with no host round-trip between them
+    (the reference's equivalent concurrency: 5 MSMs in flight over the
+    worker pool, src/bn128.js:607-622).
 
-Completeness: the group combiner is the branch-free complete add
+Completeness: the group combiners are the branch-free complete add/madd
 (ops/curve.py), so repeated points, zero points, inverse pairs, zero
 scalars, and unreduced 256-bit scalars (the reference's r/s randomization
 convention, src/bn128.js:642-704) are all handled per lane.
 
-Result equals g1m_multiexp2's group sum (test replays the
-test/bn128_prover.js:9-49 equivalence pattern against the oracle MSM).
+Result equals g1m_multiexp2's group sum (tests replay the
+test/bn128_prover.js:9-49 equivalence pattern against the oracle MSM,
+including the production window width).
 """
 
 from __future__ import annotations
@@ -36,21 +50,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .curve import JacobianDevice, map_leaf
-from .scan import seg_scan_parts, prefix_scan, reduce_last
+from .curve import map_leaf
+from .scan import seg_scan_parts_mixed, prefix_scan, reduce_last
 from ..fields.spec import LIMB_BITS
 
 
 class MSMDevice:
-    def __init__(self, curve: JacobianDevice, window_bits: int = 8):
-        """window_bits: any width 1..16.  The cost model: sort + segmented
-        scan scale with n_windows = ceil(256/c) while the bucket triangle
-        scales with 2^c; c ~ 8-13 balances them on TPU (empirically c=8 at
-        2^18; larger MSMs amortize bigger windows).  Analogue of the
-        reference's tuned w=7 (src/bn128.js:109)."""
+    def __init__(self, curve, window_bits: int = 16,
+                 group_windows: int | None = None):
+        """window_bits: 1..16.  Cost model: the sort + segmented scan scale
+        with n_windows = ceil(256/c)+1 while the bucket triangle scales with
+        2^(c-1); on TPU the scan dominates, so c = 16 (n_windows minimal)
+        is the production choice for large N — the analogue of the
+        reference's tuned w=7 (src/bn128.js:109).  group_windows bounds how
+        many windows are materialized at once (HBM knob)."""
         assert 1 <= window_bits <= LIMB_BITS
         self.curve = curve
         self.c = window_bits
+        self.gw = group_windows
+
+    # -- digit decomposition --------------------------------------------------
 
     def _digits(self, scalar_limbs):
         """[n_limbs, N] 16-bit limbs -> [n_windows, N] c-bit digits, LSB
@@ -73,50 +92,67 @@ class MSMDevice:
             rows.append(val & mask)
         return jnp.stack(rows, axis=0)
 
-    def msm(self, scalar_limbs, points):
-        """scalar_limbs: uint32 [n_limbs, N] — the scalars' 16-bit limb
-        decomposition, LSB first.  points: (X, Y, Z) pytree, leaves
-        [..., N], Montgomery-form Jacobian.  Returns per-window sums,
-        leaves [..., n_windows] (LSB window first) — fold with
-        fold_windows() on the host."""
+    def signed_digits(self, scalar_limbs):
+        """Signed-digit recode: scalar = sum_w mag_w * (-1)^neg_w * 2^(c*w)
+        with mag in [0, 2^(c-1)].  Returns (mag [W+1, N] uint32,
+        neg [W+1, N] bool) — one extra window for the final carry.
+
+        This is the vectorized counterpart of the reference's NAF ladder
+        (src/build_timesscalarnaf.js): signed digits halve the bucket
+        count per window."""
+        c = self.c
+        d = self._digits(jnp.asarray(scalar_limbs, jnp.uint32))
+        half = jnp.uint32(1 << (c - 1))
+        full = jnp.uint32(1 << c)
+        mags, negs = [], []
+        carry = jnp.zeros_like(d[0])
+        for w in range(d.shape[0]):
+            t = d[w] + carry                  # <= 2^c
+            neg = t > half
+            mags.append(jnp.where(neg, full - t, t))
+            negs.append(neg)
+            carry = neg.astype(jnp.uint32)
+        mags.append(carry)
+        negs.append(jnp.zeros_like(negs[0]))
+        return jnp.stack(mags, axis=0), jnp.stack(negs, axis=0)
+
+    # -- one window group -----------------------------------------------------
+
+    def _window_group(self, mag, neg, points):
+        """mag/neg: [G, N] digit magnitudes/signs.  points: affine (X, Y)
+        pytree, leaves [.., N].  Returns per-window sums, leaves [.., G],
+        Jacobian."""
         C = self.curve
-        d_all = self._digits(jnp.asarray(scalar_limbs, jnp.uint32))
-        W, N = d_all.shape
-        B = 1 << self.c  # buckets per window
-        scalar_limbs = d_all
+        F = C.F
+        G, N = mag.shape
+        B = (1 << (self.c - 1)) + 1           # buckets 0..2^(c-1)
 
-        # ---- 1. sort each window's digits; gather points per window ----
-        order = jnp.argsort(scalar_limbs, axis=-1)            # [W, N]
-        d = jnp.take_along_axis(scalar_limbs, order, axis=-1)  # [W, N]
-        p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))  # [.., W, N]
+        # ---- 1. sort each window's magnitudes; gather points per window ----
+        order = jnp.argsort(mag, axis=-1)                     # [G, N]
+        d = jnp.take_along_axis(mag, order, axis=-1)          # [G, N]
+        sgn = jnp.take_along_axis(neg, order, axis=-1)        # [G, N]
+        p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))  # [.., G, N]
+        # negative digit -> add -P = (X, -Y)
+        p = (p[0], F.select(sgn, F.neg(p[1]), p[1]))
 
-        # ---- 2. chunk-local segmented scan over the point axis ----
-        # Only run-END values are consumed (bucket totals), so the full
-        # two-pass segmented scan is overkill: one chunk-local pass + the
-        # per-chunk incoming prefixes halve the dominant add count
-        # (N*W adds instead of 2*N*W; the fixup below is <= 2^c*W adds).
+        # ---- 2. chunk-local mixed segmented scan over the point axis ----
         prev = jnp.concatenate(
-            [jnp.full((W, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
-        flags = d != prev                                      # [W, N]
-        local, incoming, K = seg_scan_parts(C, flags, p)
+            [jnp.full((G, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
+        flags = d != prev                                     # [G, N]
+        local, incoming, K = seg_scan_parts_mixed(C, flags, p)
 
         # ---- 3. dense bucket array by binary search (gather, no scatter) ----
         # Each bucket's total is the run-end entry of its digit in the sorted
-        # order.  A data-dependent scatter serializes badly on TPU (measured
-        # ~70% of MSM wall time); instead an integer histogram + cumsum
-        # finds, per bucket b, the index of the last sorted entry with
-        # digit <= b — if that entry's digit == b the bucket is that run's
-        # total, else the bucket is empty.
+        # order, found via histogram + cumsum; a run crossing its chunk
+        # boundary combines the chunk's incoming prefix (one add per bucket).
         bvals = jnp.arange(B, dtype=jnp.uint32)
-        counts = jnp.zeros((W, B), jnp.int32).at[
-            jnp.arange(W, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
+        counts = jnp.zeros((G, B), jnp.int32).at[
+            jnp.arange(G, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
         ].add(1, mode="drop")
-        ends = jnp.cumsum(counts, axis=-1)                      # [W, B]
+        ends = jnp.cumsum(counts, axis=-1)                    # [G, B]
         pos = jnp.maximum(ends - 1, 0)
         hit = jnp.take_along_axis(d, pos.astype(jnp.uint32), axis=-1) == bvals[None, :]
-        # run start position; a run crossing its chunk boundary needs the
-        # chunk's incoming prefix combined in (one add per bucket)
-        start = ends - counts                                   # [W, B]
+        start = ends - counts                                 # [G, B]
         c_idx = pos // K
         crosses = hit & (start < c_idx * K)
 
@@ -131,17 +167,77 @@ class MSMDevice:
         # zeroing X/Y/Z of empty buckets yields Z = 0 -> the complete add
         # treats them as the zero point; Y=0 is fine since Z=0 dominates.
         buckets = map_leaf(
-            sel, lambda a: jnp.where(hit, a, jnp.zeros_like(a)))  # [.., W, B]
+            sel, lambda a: jnp.where(hit, a, jnp.zeros_like(a)))  # [.., G, B]
 
         # ---- 4. triangle fold: sum_{b>=1} b*S_b = sum suffix sums ----
-        rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])  # S_{B-1}..S_1
-        pref = prefix_scan(C, rev)                                # suffix sums
-        win = reduce_last(C, pref)                                # [.., W, 1]
-        # Window sums [.., W] are returned; the final MSB->LSB fold
-        # (c doublings + 1 add per window, batch-1 work) belongs on the host
-        # — the reference likewise folds tiny sequential tails on the main
-        # thread while workers do the wide work (src/bn128.js:374-380).
+        rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])
+        pref = prefix_scan(C, rev)                            # suffix sums
+        win = reduce_last(C, pref)                            # [.., G, 1]
         return map_leaf(win, lambda a: a[..., 0])
+
+    # -- full MSM -------------------------------------------------------------
+
+    def msm(self, scalar_limbs, points):
+        """scalar_limbs: uint32 [n_limbs, N] — the scalars' 16-bit limb
+        decomposition, LSB first.  points: affine (X, Y) pytree, leaves
+        [.., N], Montgomery form, zero = (0, 0).  Returns per-window signed
+        sums, Jacobian leaves [.., n_windows] (LSB window first) — fold with
+        fold_windows_device() on device or fold_windows() on the host."""
+        assert len(points) == 2, "MSM consumes affine (X, Y) points"
+        mag, neg = self.signed_digits(scalar_limbs)
+        W, N = mag.shape
+        gw = self.gw or W
+        if gw >= W:
+            return self._window_group(mag, neg, points)
+        # run the groups under lax.scan: ONE traced copy of the window-group
+        # graph regardless of group count (a Python loop would replicate the
+        # sort+scan+fold graph per group — minutes of extra XLA compile),
+        # while still bounding the gathered/scanned intermediates to one
+        # group's worth of HBM at a time.
+        pad = (-W) % gw
+        if pad:  # zero digits -> empty buckets -> zero window sums
+            mag = jnp.concatenate(
+                [mag, jnp.zeros((pad, N), mag.dtype)], axis=0)
+            neg = jnp.concatenate(
+                [neg, jnp.zeros((pad, N), neg.dtype)], axis=0)
+        ngroups = (W + pad) // gw
+
+        def body(_, mn):
+            m, n = mn
+            return None, self._window_group(m, n, points)
+
+        _, wins = jax.lax.scan(
+            body, None,
+            (mag.reshape(ngroups, gw, N), neg.reshape(ngroups, gw, N)))
+        # wins leaves [ngroups, .., gw] -> [.., ngroups*gw] -> [.., W]
+        out = map_leaf(wins, lambda a: jnp.moveaxis(a, 0, -2).reshape(
+            a.shape[1:-1] + (ngroups * gw,)))
+        return map_leaf(out, lambda a: a[..., :W]) if pad else out
+
+    def msm_point(self, scalar_limbs, points):
+        """Full device MSM: per-window sums + on-device window fold.
+        Returns one Jacobian point (leaves with the window axis reduced
+        away, batch shape [])."""
+        win = self.msm(scalar_limbs, points)
+        return fold_windows_device(self.curve, win, self.c)
+
+
+def fold_windows_device(curve, win, window_bits: int):
+    """MSB->LSB window fold on device: c doublings + 1 add per window
+    (batch-1 tail work, ~W*(c+1) group ops).  win: Jacobian leaves
+    [.., W].  Returns leaves [..]."""
+    W = jax.tree.leaves(win)[0].shape[-1]
+
+    def body(i, acc):
+        w = W - 1 - i
+        acc = jax.lax.fori_loop(
+            0, window_bits, lambda _, a: curve.double(a), acc)
+        pw = map_leaf(
+            win, lambda a: jax.lax.dynamic_slice_in_dim(a, w, 1, -1)[..., 0])
+        return curve.add(acc, pw)
+
+    zero = curve.zero_like(map_leaf(win, lambda a: a[..., 0]))
+    return jax.lax.fori_loop(0, W, body, zero)
 
 
 def fold_windows(oracle_curve, window_points, window_bits: int):

@@ -135,5 +135,5 @@ class NTTDevice:
 
 
 def serialize_limbs(vals, n_limbs) -> np.ndarray:
-    from ..utils.serialize import ints_to_limbs
-    return ints_to_limbs(vals, n_limbs)
+    from ..utils.serialize import ints_to_limbs_fast
+    return ints_to_limbs_fast(vals, n_limbs)

@@ -181,6 +181,75 @@ def seg_scan_parts(curve, flags, values, chunk_steps: int = 256):
     return local, incoming, K
 
 
+def seg_scan_parts_mixed(curve, flags, aff, chunk_steps: int = 256):
+    """seg_scan_parts with *affine* input values — the MSM fast path.
+
+    aff: affine point pytree ((X, Y); zero encoded (0, 0)), leaves
+    [limbs..., *batch, N].  The chunk-local combiner is the cheaper mixed
+    add (curve.madd, Z2 = 1), with segment restarts promoting the affine
+    value to Jacobian; only the factor-K-smaller carry recursion pays for
+    full Jacobian adds.  Returns (local, incoming, K) exactly like
+    seg_scan_parts, with local/incoming in Jacobian coordinates."""
+    C = curve
+    N = _n_last(aff)
+
+    def step(carry, xs):
+        f, v = xs
+        acc = C.select(f, C.promote(v), C.madd(carry, v))
+        return acc, acc
+
+    def jac_zero_like(tree_aff):
+        return C.zero_like(C.promote(map_leaf(tree_aff, lambda a: a[..., 0])))
+
+    if N <= chunk_steps:
+        fl = jnp.moveaxis(flags, -1, 0)
+        vals = map_leaf(aff, lambda a: jnp.moveaxis(a, -1, 0))
+        init = jac_zero_like(aff)
+        _, out = jax.lax.scan(step, init, (fl, vals))
+        local = map_leaf(out, lambda a: jnp.moveaxis(a, 0, -1))
+        incoming = map_leaf(init, lambda a: a[..., None])
+        return local, incoming, max(N, 1)
+
+    K = chunk_steps
+    pad = (-N) % K
+    if pad:
+        # affine zero is all-zero coords; flagged -> isolated one-element
+        # segments that cannot disturb real positions
+        flags = jnp.concatenate(
+            [flags, jnp.ones(flags.shape[:-1] + (pad,), bool)], axis=-1)
+        aff = map_leaf(aff, lambda a: jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1))
+    Np = N + pad
+    Cn = Np // K
+
+    def to_chunks(a):
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (Cn, K)), -1, 0)
+
+    def from_chunks(a):
+        mid = a.shape[1:-1]
+        return jnp.moveaxis(a, 0, -1).reshape(mid + (Np,))
+
+    fl = to_chunks(flags)
+    vals = map_leaf(aff, to_chunks)
+
+    # batch shape here already includes the chunk axis: carry leaves must be
+    # [limbs..., *batch, Cn], i.e. the promoted shape of one chunk row
+    init = C.zero_like(C.promote(map_leaf(vals, lambda a: a[0])))
+    chunk_last, out = jax.lax.scan(step, init, (fl, vals))
+    local = map_leaf(out, from_chunks)
+    if pad:
+        local = map_leaf(local, lambda a: a[..., :N])
+
+    # combine chunk carries (Jacobian; full complete-add path)
+    any_flag = jnp.any(fl, axis=0)
+    carried = seg_scan(curve, any_flag, chunk_last, chunk_steps, chunk_steps)
+    zeroc = C.zero_like(map_leaf(carried, lambda a: a[..., :1]))
+    incoming = jax.tree.map(
+        lambda z, a: jnp.concatenate([z, a[..., :-1]], axis=-1),
+        zeroc, carried)
+    return local, incoming, K
+
+
 def prefix_scan(curve, values, **kw):
     """Plain inclusive prefix scan (segmented scan with no boundaries)."""
     leaf = jax.tree.leaves(values)[0]

@@ -40,19 +40,22 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
 
 
 def msm_sharded(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
-    """Returns a jitted sharded MSM: scalars [Lr, N], points leaves [.., N]
-    sharded along N; result = per-window sums, leaves [.., n_windows],
-    replicated (fold with ops.msm.fold_windows on the host).
+    """Returns a jitted sharded MSM: scalars [Lr, N], affine points (X, Y)
+    leaves [.., N] sharded along N; result = per-window sums, Jacobian
+    leaves [.., n_windows], replicated (fold with
+    ops.msm.fold_windows_device on device or fold_windows on the host).
 
     Per-device partial *window sums* ride ICI (n_windows points each — a few
     KB), the points never move: the same dataflow as the reference's
     chunk-per-worker + partial reduce (src/bn128.js:353-415), minus the host
-    relay.  N must be divisible by the mesh size (pad with zero scalars —
-    digit-0 buckets carry weight 0)."""
+    relay.  N is padded internally to a mesh multiple (zero scalars on
+    affine-zero points carry weight 0), so callers can feed pkey arrays of
+    any length."""
     C = msm.curve
+    D = mesh.shape[axis]
 
     def local(scalars, points):
-        win = msm.msm(scalars, points)           # leaves [.., W]
+        win = msm.msm(scalars, points)           # Jacobian leaves [.., W]
         # gather partials: [.., W, D], then fold over devices
         gath = map_leaf(
             win, lambda a: jax.lax.all_gather(a, axis, axis=a.ndim))
@@ -60,12 +63,35 @@ def msm_sharded(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
         return map_leaf(red, lambda a: a[..., 0])
 
     def build(scalars, points):
+        n = scalars.shape[-1]
+        pad = (-n) % D
+        if pad:
+            scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+            points = map_leaf(points, lambda a: jnp.pad(
+                a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]))
         pt_specs = map_leaf(points, lambda a: P(*([None] * (a.ndim - 1) + [axis])))
+        # output tree is Jacobian (X, Y, Z) with the same leaf layout as the
+        # affine inputs plus a Z mirroring X
+        jac_like = (points[0], points[1], points[0])
         return shard_map(
             local, mesh=mesh,
             in_specs=(P(None, axis), pt_specs),
-            out_specs=map_leaf(points, lambda a: P(*([None] * a.ndim))),
+            out_specs=map_leaf(jac_like, lambda a: P(*([None] * a.ndim))),
             check_rep=False,
         )(scalars, points)
 
     return jax.jit(build)
+
+
+def msm_sharded_point(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
+    """Sharded MSM folded to a single Jacobian point on device — the form
+    the mesh-aware prover consumes (no host round-trip per MSM)."""
+    from ..ops.msm import fold_windows_device
+
+    sharded = msm_sharded(msm, mesh, axis)
+
+    def run(scalars, points):
+        win = sharded(scalars, points)
+        return fold_windows_device(msm.curve, win, msm.c)
+
+    return run

@@ -26,12 +26,17 @@ def _load():
     _tried = True
     if os.environ.get("WASMSNARK_TPU_NO_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.abspath(_CSRC), "marshal.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", os.path.abspath(_CSRC)],
+            subprocess.run(["make", "-C", os.path.abspath(_CSRC), "-B"],
                            capture_output=True, timeout=120, check=True)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -42,6 +47,13 @@ def _load():
                                         u8p, ctypes.c_size_t]
         lib.points_to_planes.argtypes = [u8p, ctypes.c_size_t, ctypes.c_size_t,
                                          ctypes.c_size_t, u32p, ctypes.c_size_t]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        if hasattr(lib, "count_sparse_coefs"):
+            lib.count_sparse_coefs.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t]
+            lib.count_sparse_coefs.restype = ctypes.c_size_t
+            lib.parse_sparse.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_size_t, i32p, i32p, u8p]
         _lib = lib
     except OSError:
         _lib = None
@@ -60,6 +72,29 @@ def bytes_to_planes(data: bytes, elem_bytes: int, n_limbs: int):
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, elem_bytes,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), n_limbs)
     return out
+
+
+def parse_sparse(data, n_signals: int, n8: int):
+    """Native sparse-pkey-section parse; returns (sig_idx, coef_idx,
+    coef_bytes) numpy arrays or None when the lib is absent/stale."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "count_sparse_coefs"):
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    total = lib.count_sparse_coefs(
+        buf.ctypes.data_as(u8p), len(buf), n_signals, n8)
+    if total == ctypes.c_size_t(-1).value:
+        raise ValueError("truncated sparse pkey section")
+    sig_idx = np.empty(total, dtype=np.int32)
+    coef_idx = np.empty(total, dtype=np.int32)
+    coef_bytes = np.empty(total * n8, dtype=np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.parse_sparse(
+        buf.ctypes.data_as(u8p), n_signals, n8,
+        sig_idx.ctypes.data_as(i32p), coef_idx.ctypes.data_as(i32p),
+        coef_bytes.ctypes.data_as(u8p))
+    return sig_idx, coef_idx, coef_bytes
 
 
 def planes_to_bytes(planes, elem_bytes: int):

