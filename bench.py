@@ -184,6 +184,75 @@ def bench_prove(out):
     return bool(ok)
 
 
+def bench_pairing(out):
+    """Single BN128 pairing latency + batched verification throughput
+    (the test/bn128.js:389-395 'time to compute a single pairing' point and
+    the production batched-verify path).  Opt-in: BENCH_PAIRING=1 — the
+    pairing engine's first compile is large; the persistent cache makes
+    reruns cheap."""
+    import jax
+    from wasmsnark_tpu.ops.pairing import bn128_pairing_device
+    pd = bn128_pairing_device()
+    m = pd.m
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 7))
+    q1 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 9))
+
+    def one(g1, g2):
+        return pd.final_exponentiation(pd.miller_loop(g1, g2))
+
+    run = jax.jit(one)
+    g1 = pd.pack_g1([(p1[0], p1[1])])
+    g2 = pd.pack_g2([(q1[0], q1[1])])
+    t0 = time.time()
+    e = jax.block_until_ready(run(g1, g2))
+    out["pairing_compile_seconds"] = round(time.time() - t0, 1)
+    dt = _time_reps(lambda: run(g1, g2))
+    out["pairing_single_ms"] = round(dt * 1e3, 1)
+    # correctness: e(7G1, 9G2) == e(G1, G2)^63
+    exp = m.final_exponentiation(m.miller_loop(
+        m.G1.affine(m.g1_gen)[:2], m.G2.affine(m.g2_gen)[:2]))
+    exp = m.F12.exp(exp, 63)
+    out["pairing_ok"] = bool(pd.unpack_f12(e)[0] == exp)
+    # batched: 64 pairings in lanes
+    B = 64
+    g1b = pd.pack_g1([(p1[0], p1[1])] * B)
+    g2b = pd.pack_g2([(q1[0], q1[1])] * B)
+    jax.block_until_ready(run(g1b, g2b))
+    dt = _time_reps(lambda: run(g1b, g2b))
+    out["pairing_batch64_per_sec"] = round(B / dt, 1)
+    return out["pairing_ok"]
+
+
+def bench_mnt_verify(out):
+    """MNT6753 Bowe-Gabizon verification: host-oracle latency vs the batched
+    device path (BASELINE.md MNT row).  Opt-in: BENCH_MNT=1; needs the
+    reference's Coda test vector."""
+    path = "/root/reference/test/data/mnt6753verifier_testvector.json"
+    if not os.path.exists(path):
+        return True
+    import json as _json
+    from wasmsnark_tpu.models.mnt6753_runtime import Mnt6753Runtime
+    with open(path) as f:
+        tv = _json.load(f)
+    rt = Mnt6753Runtime()
+    t0 = time.time()
+    ok_host = rt.verify_sync(tv["verificationKey"], tv["input"], tv["proof"])
+    out["mnt_verify_host_seconds"] = round(time.time() - t0, 2)
+    B = int(os.environ.get("BENCH_MNT_BATCH", "8"))
+    t0 = time.time()
+    got = rt.bowe_gabizon_verify_batch(
+        tv["verificationKey"], [tv["input"]] * B, [tv["proof"]] * B)
+    out["mnt_verify_device_compile_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    got = rt.bowe_gabizon_verify_batch(
+        tv["verificationKey"], [tv["input"]] * B, [tv["proof"]] * B)
+    dt = time.time() - t0
+    out[f"mnt_verify_device_batch{B}_seconds"] = round(dt, 2)
+    out["mnt_verify_device_per_proof_seconds"] = round(dt / B, 3)
+    out["mnt_verify_ok"] = bool(ok_host and all(got))
+    return out["mnt_verify_ok"]
+
+
 def main():
     import jax
 
@@ -195,6 +264,10 @@ def main():
         bench_fr_mul(out)
     if not os.environ.get("BENCH_SKIP_PROVE"):
         ok = bench_prove(out) and ok
+    if os.environ.get("BENCH_PAIRING"):
+        ok = bench_pairing(out) and ok
+    if os.environ.get("BENCH_MNT"):
+        ok = bench_mnt_verify(out) and ok
     out["all_checks_ok"] = bool(ok)
     print(json.dumps(out))
     return 0 if ok else 1

@@ -5,6 +5,7 @@ degenerate cases (test/bn128.js), and the multiexp equivalence pattern of
 test/bn128_prover.js:9-49 (same group sum from independent algorithms).
 """
 
+import os
 import random
 
 import jax
@@ -88,7 +89,13 @@ def test_g2_complete_add():
         assert eq_or_zero(m.G2, m.G2.add(p, q), got[i]), i
 
 
-@pytest.mark.parametrize("window_bits", [4, 16])
+@pytest.mark.parametrize("window_bits", [
+    4,
+    pytest.param(16, marks=pytest.mark.skipif(
+        os.environ.get("WASMSNARK_TPU_SLOW_TESTS") != "1",
+        reason="c=16 builds 2^15+1 bucket lanes (~3 min compile+compute "
+               "on CPU); covered by bench.py's checked 2^20 run on chip")),
+])
 def test_g1_msm_vs_oracle(window_bits):
     """Multiexp equivalence (pattern of test/bn128_prover.js:9-49): adversarial
     input with repeats, zero point, negation pair, zero scalar, unreduced

@@ -7,6 +7,8 @@ orchestrator for it (SURVEY.md §2.2).  Our Groth16 pipeline is curve-generic
 BLS12-381 unchanged; these tests pin that wiring end-to-end.
 """
 
+import os
+
 import pytest
 
 import wasmsnark_tpu
@@ -57,6 +59,10 @@ def test_witness_roundtrip():
     assert limbs_to_ints(arr) == [v % R for v in wit]
 
 
+@pytest.mark.skipif(os.environ.get("WASMSNARK_TPU_SLOW_TESTS") != "1",
+                    reason="full BLS prover compile ~8 min on CPU; the "
+                           "pipeline is curve-generic and the BN128 e2e "
+                           "prove covers it in the default tier")
 def test_prove_and_verify_bls(rt):
     m = bls12381()
     r1cs = square_chain_circuit(3)

@@ -94,9 +94,11 @@ class Groth16Prover:
         key = ("msm", curve_key, c, self.mesh is not None)
         if key not in self._jit_cache:
             dev = self.G1d if curve_key == "g1" else self.G2d
-            # bound gathered/scanned intermediates to <= 8 windows' worth of
-            # HBM at large N (ops/msm.py group_windows knob)
-            msm = MSMDevice(dev, window_bits=c, group_windows=8)
+            # bound gathered/scanned intermediates' HBM at large N
+            # (ops/msm.py group_windows knob); G2 leaves are 2x wider, so
+            # halve its window group
+            msm = MSMDevice(dev, window_bits=c,
+                            group_windows=8 if curve_key == "g1" else 4)
             if self.mesh is not None:
                 from ..parallel.mesh import msm_sharded_point
                 self._jit_cache[key] = msm_sharded_point(msm, self.mesh)

@@ -214,6 +214,16 @@ class FpDevice:
         """
         L = self.L
         bshape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
+        # numpy right-alignment would pair the limb axis with batch dims when
+        # ranks differ (e.g. constants [L, 1] against [L, G, B]); align the
+        # *batch* dims right by inserting singleton axes after the limb axis
+        def _align(a):
+            if a.shape[1:] != bshape:
+                a = a.reshape((L,) + (1,) * (len(bshape) - a.ndim + 1)
+                              + a.shape[1:])
+                a = jnp.broadcast_to(a, (L,) + bshape)
+            return a
+        x, y = _align(x), _align(y)
         P = x[:, None] * y[None, :]            # [L, L, *B], exact 16x16->32
         lo = P & MASK
         hi = P >> LIMB_BITS
