@@ -77,3 +77,29 @@ def test_times_scalar_device_per_lane():
             assert zs_[i] == 0
         else:
             assert oc.eq((xs_[i], ys_[i], zs_[i]), want)
+
+
+def test_times_scalar_signed_device_matches_oracle():
+    """Signed-window ladder (build_timesscalarnaf.js parity) vs the plain
+    oracle ladder, incl. zero point / zero scalar / max-window digits."""
+    from wasmsnark_tpu.ops.msm import times_scalar_signed_device
+    spec = FieldSpec(P61)
+    F = FpDevice(spec)
+    OF = OracleFp(spec)
+    oc = JacobianCurve(OF)
+    x0 = next(c for c in range(2, 100)
+              if spec.is_square((c ** 3 + 7) % spec.q))
+    gen = oc.from_affine(x0, spec.sqrt((x0 ** 3 + 7) % spec.q))
+    G = JacobianDevice(FpAdapter(F))
+    pts = [gen, oc.times_scalar(gen, 3), oc.zero(), gen]
+    scl = [0xFFFF8001, 999, 777, 0]
+    P = tuple(jnp.asarray(F.pack_mont([p[i] for p in pts])) for i in range(3))
+    sc = jnp.asarray(ints_to_limbs(scl, 2))
+    out = jax.jit(lambda p, s: times_scalar_signed_device(G, p, s, 4))(P, sc)
+    xs_, ys_, zs_ = (F.unpack_mont(np.asarray(c)) for c in out)
+    for i in range(4):
+        want = oc.times_scalar(pts[i], scl[i])
+        if oc.is_zero(want):
+            assert zs_[i] == 0
+        else:
+            assert oc.eq((xs_[i], ys_[i], zs_[i]), want)
