@@ -117,3 +117,37 @@ def test_bowe_gabizon_verifier_rejects_tampered():
     # tamper with z.x (an OCam num [f, f, [u32...]])
     bad["z"]["x"][2][0] = (bad["z"]["x"][2][0] + 1) % (1 << 32)
     assert rt.verify_sync(tv["verificationKey"], tv["input"], bad) is False
+
+
+SLOW = os.environ.get("WASMSNARK_TPU_SLOW_TESTS") == "1"
+
+
+@pytest.mark.skipif(not SLOW or not os.path.exists(REF_DATA),
+                    reason="MNT device pairing compile is heavy; set "
+                           "WASMSNARK_TPU_SLOW_TESTS=1")
+@pytest.mark.parametrize("fused", [False, True], ids=["lanes", "fused"])
+def test_bowe_gabizon_device_verifier_testvectors(fused):
+    """The DEVICE Bowe-Gabizon path (batched Pedersen + groupMap + 5-pair
+    randomized pairing product) on both Coda vectors at once — the batch
+    analogue of the reference's worker-pool verify/verifyFused
+    (src/mnt6753.js:944-1087 / :779-941)."""
+    tvs = []
+    for name in ["mnt6753verifier_testvector.json",
+                 "mnt6753verifier_testvector2.json"]:
+        with open(os.path.join(REF_DATA, name)) as f:
+            tvs.append(json.load(f))
+    rt = Mnt6753Runtime()
+    # both vectors share a verification key in-protocol? they don't need to:
+    # batch per vk
+    for tv in tvs:
+        got = rt.bowe_gabizon_verify_batch(
+            tv["verificationKey"], [tv["input"]], [tv["proof"]], fused=fused)
+        assert got == [True]
+    # tampered proof must fail through the device path too
+    bad = json.loads(json.dumps(tvs[0]["proof"]))
+    bad["z"]["x"][2][0] = (bad["z"]["x"][2][0] + 1) % (1 << 32)
+    got = rt.bowe_gabizon_verify_batch(
+        tvs[0]["verificationKey"],
+        [tvs[0]["input"], tvs[0]["input"]],
+        [tvs[0]["proof"], bad], fused=fused)
+    assert got == [True, False]

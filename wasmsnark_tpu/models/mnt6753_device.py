@@ -85,10 +85,12 @@ class Mnt6753Device:
         """Host-precomputed per-window {1B..4B} affine tables.
 
         Returns (tx, ty) numpy [L, n_win_max, 4] for the maximum bit length
-        used by the verifier (4 * 754 bits -> 1006 windows)."""
+        used by the verifier: two G1 points (1+753 bits each) plus two
+        G2-over-Fp3 points (1+3*753 bits each) = 6028 bits -> 2010 windows
+        (mnt6753.js:645-658; within the 12-base x 188-window table)."""
         m = self.m
         n = PEDERSEN_CHUNK_SIZE
-        nbits = 4 * 754
+        nbits = 2 * (1 + 753) + 2 * (1 + 3 * 753)
         n_win = (nbits + 2) // 3
         table = m._pedersen_table  # [base][sel] projective oracle points
         xs, ys = [], []

@@ -860,6 +860,95 @@ class Mnt6753PairingDevice:
             m = e if m is None else (m & e)
         return m
 
+    # -- multi-pair products (the Bowe-Gabizon verifier's device form) ---------
+
+    def pack_f6(self, vals):
+        """Canonical host F6 elements ((a0,a1,a2),(b0,b1,b2)) -> Montgomery
+        plane tuples, leaves [L, N]."""
+        def comp(i, j):
+            return jnp.asarray(self.fp.pack_mont([v[i][j] for v in vals]))
+        return (tuple(comp(0, j) for j in range(3)),
+                tuple(comp(1, j) for j in range(3)))
+
+    def is_eq_planes(self, el, expected):
+        """Batched F6 equality vs per-lane expected Montgomery planes
+        (same tree structure/shapes as el)."""
+        F = self.base
+        m = None
+        for got_c, exp_c in zip((*el[0], *el[1]),
+                                (*expected[0], *expected[1])):
+            e = F.eq(got_c, exp_c)
+            m = e if m is None else (m & e)
+        return m
+
+    def _f6_prod_pairs(self, f):
+        """F6 values with a pair axis at position 1 (leaves [L, k, *B]) ->
+        product over the pair axis (leaves [L, *B]).  Tree fold; odd sizes
+        carry the remainder lane forward — no power-of-two padding."""
+        k = jax.tree.leaves(f)[0].shape[1]
+        while k > 1:
+            half = k // 2
+            left = map_leaf(f, lambda a: a[:, :half])
+            right = map_leaf(f, lambda a: a[:, half:2 * half])
+            prod = self._f6_mul(left, right)
+            if k % 2:
+                rem = map_leaf(f, lambda a: a[:, 2 * half:])
+                prod = jax.tree.map(
+                    lambda p, r: jnp.concatenate([p, r], axis=1), prod, rem)
+            f = prod
+            k = half + (k % 2)
+        return map_leaf(f, lambda a: a[:, 0])
+
+    def miller_loop_fused(self, g1, g2):
+        """Fused multi-pair Miller loop — the device analogue of the
+        reference's computeLineFunctions / combineLineFunctions /
+        fusedMillerLoop pipeline (src/mnt6753.js:803-1006 via
+        build_mnt6753.js:803-956): pairs ride a lane axis at position 1
+        (point leaves [L, k, *B]); ONE running f per batch element
+        ([L, *B]) is squared once per iteration and multiplied by the
+        product of the k line values, saving (k-1) F6 squarings per
+        doubling step vs k independent loops."""
+        F3d = self.F3d
+        xP, yP = g1
+        xQ, yQ = g2
+        f = self._f6_one(map_leaf(xP, lambda a: a[:, 0]))
+        X, Y, Z = xQ, yQ, F3d.one_like(xQ)
+        segs, tail = _bit_segments(self.loop_bits)
+
+        def dbl_once(_, st):
+            f, X, Y, Z = st
+            l, X, Y, Z = self._dbl_step(X, Y, Z, xP, yP)
+            f = self._f6_mul(self._f6_sqr(f), self._f6_prod_pairs(l))
+            return (f, X, Y, Z)
+
+        def seg_body(st, k):
+            st = jax.lax.fori_loop(0, k, dbl_once, st)
+            f, X, Y, Z = st
+            l, X, Y, Z = self._add_step(X, Y, Z, xQ, yQ, xP, yP)
+            f = self._f6_mul(f, self._f6_prod_pairs(l))
+            return (f, X, Y, Z), None
+
+        st = (f, X, Y, Z)
+        if len(segs):
+            st, _ = jax.lax.scan(seg_body, st, jnp.asarray(segs))
+        if tail:
+            st = jax.lax.fori_loop(0, tail, dbl_once, st)
+        return st[0]
+
+    def pairing_products(self, g1, g2):
+        """prod_j e(P_j, Q_j) per batch lane: pairs on axis 1, point leaves
+        [L, k, *B], result F6 leaves [L, *B].  Independent Miller loops in
+        lanes + tree product + one final exponentiation — the device
+        analogue of the reference's `verify` worker DAG (5 MILLER_LOOP
+        commands + main-thread product, src/mnt6753.js:944-1087)."""
+        f = self.miller_loop(g1, g2)
+        return self.final_exponentiation(self._f6_prod_pairs(f))
+
+    def pairing_products_fused(self, g1, g2):
+        """pairing_products through the fused Miller loop (the verifyFused
+        analogue, src/mnt6753.js:779-941)."""
+        return self.final_exponentiation(self.miller_loop_fused(g1, g2))
+
 
 @functools.lru_cache(maxsize=1)
 def mnt6753_pairing_device() -> Mnt6753PairingDevice:
