@@ -170,7 +170,9 @@ class MSMDevice:
         B = (1 << (self.c - 1)) + 1           # buckets 0..2^(c-1)
 
         # ---- 1. sort each window's magnitudes; gather points per window ----
-        order = jnp.argsort(mag, axis=-1)                     # [G, N]
+        # group-by-digit only needs *a* grouping, not a stable one — the
+        # unstable sort skips the index tiebreak pass
+        order = jnp.argsort(mag, axis=-1, stable=False)       # [G, N]
         d = jnp.take_along_axis(mag, order, axis=-1)          # [G, N]
         sgn = jnp.take_along_axis(neg, order, axis=-1)        # [G, N]
         p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))  # [.., G, N]
