@@ -187,16 +187,20 @@ class MSMDevice:
 
         # ---- 3. dense bucket array by binary search (gather, no scatter) ----
         # Each bucket's total is the run-end entry of its digit in the sorted
-        # order, found via histogram + cumsum; a run crossing its chunk
-        # boundary combines the chunk's incoming prefix (one add per bucket).
+        # order.  The run boundaries come from two vectorized binary searches
+        # over the sorted digits (TPU scatter is serialized; searchsorted is
+        # log-depth gathers); a run crossing its chunk boundary combines the
+        # chunk's incoming prefix (one add per bucket).
         bvals = jnp.arange(B, dtype=jnp.uint32)
-        counts = jnp.zeros((G, B), jnp.int32).at[
-            jnp.arange(G, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
-        ].add(1, mode="drop")
-        ends = jnp.cumsum(counts, axis=-1)                    # [G, B]
+        bq = jnp.broadcast_to(bvals[None, :], (G, B))
+        start = jax.vmap(
+            lambda ds, v: jnp.searchsorted(ds, v, side="left"))(
+            d, bq).astype(jnp.int32)                          # [G, B]
+        ends = jax.vmap(
+            lambda ds, v: jnp.searchsorted(ds, v, side="right"))(
+            d, bq).astype(jnp.int32)                          # [G, B]
         pos = jnp.maximum(ends - 1, 0)
-        hit = jnp.take_along_axis(d, pos.astype(jnp.uint32), axis=-1) == bvals[None, :]
-        start = ends - counts                                 # [G, B]
+        hit = ends > start
         c_idx = pos // K
         crosses = hit & (start < c_idx * K)
 
