@@ -78,3 +78,37 @@ def test_prove_and_verify_own_circuit(rt):
     bad[3] += 1
     pbad = rt.groth16_gen_proof(write_witness(bad, m.fr_spec), pkey, rng=7)
     assert rt.groth16_verify(vk, pub, pbad) is False
+
+
+def test_construct_lc_matches_oracle():
+    """Segmented cumsum LC (no device scatter/sort) vs bigint accumulation,
+    with duplicate destinations and empty buckets (build_pol.js:62-144
+    semantics)."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from wasmsnark_tpu.models.bn128 import bn128
+    from wasmsnark_tpu.ops.fp import FpDevice
+    from wasmsnark_tpu.ops.pol import SparseLC, construct_lc
+    from wasmsnark_tpu.utils.serialize import ints_to_limbs
+
+    m = bn128()
+    Fr = FpDevice(m.fr_spec)
+    q = m.Fr.q
+    random.seed(5)
+    domain, nsig, nnz = 16, 6, 40
+    sig_idx = [random.randrange(nsig) for _ in range(nnz)]
+    coef_idx = [random.choice([0, 3, 3, 3, 7, 7, 15]) for _ in range(nnz)]
+    coefs = [random.randrange(q) for _ in range(nnz)]
+    signals = [random.randrange(q) for _ in range(nsig)]
+    lc = SparseLC(
+        sig_idx=np.array(sig_idx, np.int32),
+        coef_idx=np.array(coef_idx, np.int32),
+        coefs=Fr.pack_mont(coefs),
+        domain_size=domain)
+    sig_m = Fr.to_mont(jnp.asarray(ints_to_limbs(signals, Fr.L)))
+    out = Fr.unpack_mont(np.asarray(construct_lc(Fr, lc, sig_m)))
+    exp = [0] * domain
+    for s, c, v in zip(sig_idx, coef_idx, coefs):
+        exp[c] = (exp[c] + signals[s] * v) % q
+    assert out == exp
