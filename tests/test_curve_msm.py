@@ -189,3 +189,25 @@ def test_g1_madd_vs_oracle():
     got = unpack_g1(jax.jit(G1d.madd)(pack_g1(P), pack_g1_affine(Qo)))
     for i, (p, q) in enumerate(zip(P, Qo)):
         assert eq_or_zero(m.G1, m.G1.add(p, q), got[i]), i
+
+
+def test_g1_msm_sharded_2d_mesh():
+    """Point-axis sharding over a hierarchical (host x chip) mesh — the
+    multi-slice layout: partial window sums gather hierarchically (ICI
+    within a host row, DCN across).  Virtual 8-CPU mesh as 2 x 4; N not a
+    multiple of the mesh size (internal padding)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from wasmsnark_tpu.parallel.mesh import make_mesh_2d, msm_sharded
+    random.seed(21)
+    n = 42  # deliberately not divisible by 8
+    pts = [m.G1.affine(m.G1.times_scalar(m.g1_gen, random.randrange(1, R)))
+           for _ in range(n)]
+    scalars = [random.randrange(R) for _ in range(n)]
+    mesh = make_mesh_2d(2, 4)
+    msm = MSMDevice(G1d, window_bits=4)
+    run = msm_sharded(msm, mesh, axis=("host", "points"))
+    win = unpack_g1(run(jnp.asarray(ints_to_limbs(scalars, 16)),
+                        pack_g1_affine(pts)))
+    got = fold_windows(m.G1, win, 4)
+    assert eq_or_zero(m.G1, m.G1.msm(pts, scalars), got)

@@ -39,7 +39,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def msm_sharded(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
+def make_mesh_2d(n_hosts: int, chips_per_host: int | None = None,
+                 axes: tuple = ("host", "points")) -> Mesh:
+    """Hierarchical (host x chip) mesh — the multi-slice/DCN layout.
+
+    Collectives over the trailing (chip) axis ride ICI within a host's
+    slice; the leading (host) axis crosses DCN.  The MSM's partial-sum
+    gather is a few hundred bytes per device, so a flattened
+    P(("host", "points")) sharding keeps the DCN leg trivial — XLA lowers
+    the all_gather hierarchically.  On a single host this still validates
+    the program structure (the driver's virtual 8-CPU mesh runs it as
+    2 x 4)."""
+    devs = jax.devices()
+    per = chips_per_host or len(devs) // n_hosts
+    n = n_hosts * per
+    assert n <= len(devs), f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(n_hosts, per), axes)
+
+
+def msm_sharded(msm: MSMDevice, mesh: Mesh, axis="points"):
     """Returns a jitted sharded MSM: scalars [Lr, N], affine points (X, Y)
     leaves [.., N] sharded along N; result = per-window sums, Jacobian
     leaves [.., n_windows], replicated (fold with
@@ -50,9 +68,15 @@ def msm_sharded(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
     chunk-per-worker + partial reduce (src/bn128.js:353-415), minus the host
     relay.  N is padded internally to a mesh multiple (zero scalars on
     affine-zero points carry weight 0), so callers can feed pkey arrays of
-    any length."""
+    any length.
+
+    axis may be one mesh axis name or a tuple of names (e.g.
+    ("host", "points") from make_mesh_2d): points then shard over the
+    flattened axes and the partial gather lowers hierarchically
+    (ICI within a host, DCN across)."""
     C = msm.curve
-    D = mesh.shape[axis]
+    axis = axis if isinstance(axis, tuple) else (axis,)
+    D = int(np.prod([mesh.shape[a] for a in axis]))
 
     def local(scalars, points):
         win = msm.msm(scalars, points)           # Jacobian leaves [.., W]
