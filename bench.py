@@ -39,12 +39,22 @@ def _time_reps(fn, reps=3):
     return (time.time() - t0) / reps
 
 
+def _module():
+    """BENCH_CURVE selects the curve family (default bn128; bls12381 is the
+    beyond-reference configuration — same pipeline, 24-limb field)."""
+    name = os.environ.get("BENCH_CURVE", "bn128")
+    if name == "bls12381":
+        from wasmsnark_tpu.models.bls12381 import bls12381
+        return name, bls12381()
+    from wasmsnark_tpu.models.bn128 import bn128
+    return name, bn128()
+
+
 def bench_msm(out):
     import jax
     import jax.numpy as jnp
     import random
 
-    from wasmsnark_tpu.models.bn128 import bn128, R
     from wasmsnark_tpu.ops.fp import FpDevice
     from wasmsnark_tpu.ops.towers import FpAdapter
     from wasmsnark_tpu.ops.curve import JacobianDevice
@@ -56,7 +66,8 @@ def bench_msm(out):
     wbits = int(os.environ.get("BENCH_WINDOW_BITS", "16"))
     n = 1 << bits
 
-    m = bn128()
+    cname, m = _module()
+    R = m.Fr.q
     Fp = FpDevice(m.fp_spec)
     G1d = JacobianDevice(FpAdapter(Fp))
     msm = MSMDevice(G1d, window_bits=wbits, group_windows=8)
@@ -87,7 +98,7 @@ def bench_msm(out):
         else bool(m.G1.is_zero(got))
 
     out.update({
-        "metric": f"BN128 G1 MSM points/sec/chip @ 2^{bits}",
+        "metric": f"{cname.upper()} G1 MSM points/sec/chip @ 2^{bits}",
         "value": round(n / dt, 1),
         "unit": "points/s",
         "vs_baseline": round(n / dt / 1.2e5, 3),
@@ -160,21 +171,23 @@ def bench_prove(out):
         "BENCH_PROVE_BITS", os.environ.get("BENCH_MSM_BITS", "20")))
     if bits == 0:
         return True
+    cname, m = _module()
     k = (1 << bits) - 2  # constraints + 2 binding rows -> domain exactly 2^bits
     t0 = time.time()
     r1cs = square_chain_circuit(k)
-    pkey, vk, _ = setup(r1cs, seed=3)
+    pkey, vk, _ = setup(r1cs, seed=3,
+                        module=(m if cname != "bn128" else None))
     setup_t = time.time() - t0
-    wit = square_chain_witness(k, 0xABCDEF)
+    wit = square_chain_witness(k, 0xABCDEF, r=m.Fr.q)
 
-    prover = Groth16Prover()
+    prover = Groth16Prover(curve=cname)
     t0 = time.time()
     proof = prover.prove(wit, pkey, rng=42)
     first = time.time() - t0
     t0 = time.time()
     proof = prover.prove(wit, pkey, rng=43)
     steady = time.time() - t0
-    ok = groth16_verify(vk, [wit[1]], proof)
+    ok = groth16_verify(vk, [wit[1]], proof, curve=cname)
     out.update({
         f"prove_2^{bits}_seconds": round(steady, 2),
         "prove_first_call_seconds": round(first, 1),
