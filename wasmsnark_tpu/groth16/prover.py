@@ -76,6 +76,9 @@ class Groth16Prover:
         self.window_bits = msm_window_bits
         self.mesh = mesh
         self._jit_cache = {}
+        # id -> (bytes ref, ProvingKey): repeated proves with the same key
+        # bytes skip the multi-hundred-MB reparse (strong ref pins the id)
+        self._pk_cache = {}
 
     def _window_for(self, n: int) -> int:
         """Window width scales with MSM size (bucket-fold cost must amortize
@@ -152,8 +155,13 @@ class Groth16Prover:
         m = self.m
         if isinstance(pkey, ProvingKey):
             pk = pkey
+        elif id(pkey) in self._pk_cache:
+            pk = self._pk_cache[id(pkey)][1]
         else:
             pk = parse_pkey(pkey, m.fp_spec, m.fr_spec)
+            if len(self._pk_cache) >= 4:
+                self._pk_cache.clear()
+            self._pk_cache[id(pkey)] = (pkey, pk)
         if isinstance(witness, (bytes, bytearray)):
             signals = read_witness(bytes(witness), m.fr_spec)
         else:
@@ -162,14 +170,24 @@ class Groth16Prover:
                                     m.fr_spec.n_limbs)
         assert signals.shape[1] == pk.n_signals
 
+        # point planes live on device across prove() calls (one upload per
+        # proving key — the analogue of the reference workers keeping the
+        # pkey slices resident in their WASM memories, bn128.js:353-415)
+        dev = getattr(pk, "_device_points", None)
+        if dev is None:
+            dev = {name: jax.device_put(getattr(pk, name))
+                   for name in ("points_a", "points_b1", "points_b2",
+                                "points_c", "h_exps")}
+            object.__setattr__(pk, "_device_points", dev)
+
         # ---- dispatch ALL device work before any host read ----
         sig_dev = jnp.asarray(signals)
         h = self.calc_h(pk, sig_dev)
-        d_a = self._msm("g1", sig_dev, pk.points_a)
-        d_b1 = self._msm("g1", sig_dev, pk.points_b1)
-        d_b2 = self._msm("g2", sig_dev, pk.points_b2)
-        d_c = self._msm("g1", sig_dev[:, pk.n_public + 1:], pk.points_c)
-        d_h = self._msm("g1", h, pk.h_exps)
+        d_a = self._msm("g1", sig_dev, dev["points_a"])
+        d_b1 = self._msm("g1", sig_dev, dev["points_b1"])
+        d_b2 = self._msm("g2", sig_dev, dev["points_b2"])
+        d_c = self._msm("g1", sig_dev[:, pk.n_public + 1:], dev["points_c"])
+        d_h = self._msm("g1", h, dev["h_exps"])
 
         # ---- single sync point: read back 5 Jacobian points ----
         pi_a = self._g1_host(d_a)
