@@ -133,12 +133,32 @@ class Mnt6753:
                 f = F.mul(f, l)
         return f
 
+    @functools.cached_property
+    def _frob6_coeffs(self):
+        """Fp scalars nr^(k(q-1)/6): component k' of (a0,a1,a2,b0,b1,b2)
+        sits on power (0,2,4,1,3,5) of nr^(1/6) and picks up g[k'] under
+        x -> x^q (build_mnt6753.js:1008-1070)."""
+        return [pow(NR, k * (Q - 1) // 6, Q) for k in range(6)]
+
+    def _frobenius6(self, f):
+        (a0, a1, a2), (b0, b1, b2) = f
+        g = self._frob6_coeffs
+        F1 = self.F1
+        return ((a0, F1.mul(a1, g[2]), F1.mul(a2, g[4])),
+                (F1.mul(b0, g[1]), F1.mul(b1, g[3]), F1.mul(b2, g[5])))
+
     def final_exponentiation(self, f):
         """f^((q^3-1)(q+1)(q+w0)) — the product of the reference's first
         chunk (q^3-1)(q+1) and last chunk (q + w0)
-        (build_mnt6753.js:1244-1314; equals its committed full exponent)."""
-        e = (Q ** 3 - 1) * (Q + 1) * (Q + FINAL_EXP_W0)
-        return self.F6.exp(f, e)
+        (build_mnt6753.js:1244-1314; equals its committed full exponent),
+        via the easy/hard split: conjugate*inverse (the q^3-1 chunk, f^q^3
+        = conjugate over F3), one Frobenius (the q+1 chunk), then
+        frob(t) * t^w0 — a 753-bit ladder instead of the 3765-bit full
+        exponent."""
+        F = self.F6
+        t = F.mul(F.conjugate(f), F.inv(f))
+        t = F.mul(self._frobenius6(t), t)
+        return F.mul(self._frobenius6(t), F.exp(t, FINAL_EXP_W0))
 
     def pairing(self, g1_point, g2_point):
         a1 = self._affine2(self.G1, g1_point)
