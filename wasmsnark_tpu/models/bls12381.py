@@ -141,12 +141,15 @@ class Bls12381:
         return f
 
     def final_exponentiation(self, f):
-        """f^((q^12-1)/r) — full-exponent oracle.  The reference's optimized
-        cyclotomic hard chunk (build_bls12381.js:961-1250) computes a fixed
-        power of this reduced pairing; both are valid reduced ate pairings
-        and bilinearity tests hold for each."""
-        e = (Q ** 12 - 1) // R
-        return self.F12.exp(f, e)
+        """f^((q^12-1)/r) via the easy/hard split (q^12-1)/r =
+        (q^6-1)(q^2+1) * (q^4-q^2+1)/r (same value as the full exponent;
+        the reference's optimized cyclotomic hard chunk,
+        build_bls12381.js:961-1250, computes a fixed power of this reduced
+        pairing — both are valid reduced ate pairings)."""
+        F = self.F12
+        t = F.mul(F.conjugate(f), F.inv(f))
+        t = F.mul(F.exp(t, Q * Q), t)
+        return F.exp(t, (Q ** 4 - Q ** 2 + 1) // R)
 
     def pairing(self, g1_point, g2_point):
         a1 = self._affine2(self.G1, g1_point)

@@ -171,10 +171,16 @@ class Bn128:
         return f
 
     def final_exponentiation(self, f):
-        """f^((q^12 - 1)/r).  Naive full exponent — oracle only."""
+        """f^((q^12-1)/r) via the easy/hard split (q^12-1)/r =
+        (q^6-1)(q^2+1) * (q^4-q^2+1)/r: conjugate*inverse for the q^6-1
+        chunk (f^(q^6) = conjugate over F6), then two ladders totalling
+        ~1270 bits instead of the 3046-bit full exponent (the reference's
+        easy chunk, build_bn128.js:943-978; its cyclotomic hard part lives
+        in the device engine, ops/pairing.py)."""
         F = self.F12
-        e = (Q ** 12 - 1) // R
-        return F.exp(f, e)
+        t = F.mul(F.conjugate(f), F.inv(f))
+        t = F.mul(F.exp(t, Q * Q), t)
+        return F.exp(t, (Q ** 4 - Q ** 2 + 1) // R)
 
     def pairing(self, g1_point, g2_point):
         """Full pairing on oracle curve points (Jacobian tuples)."""
