@@ -266,24 +266,64 @@ def bench_mnt_verify(out):
     return out["mnt_verify_ok"]
 
 
-def main():
+def _init_backend():
+    """Initialize the JAX backend, falling back to CPU if the preferred
+    backend (e.g. the axon TPU tunnel) is unavailable.  Returns
+    (devices, fallback_note or None).  Never raises: an outage must still
+    yield one parseable JSON line (round-2 lesson: BENCH_r02 recorded a raw
+    traceback and rc=1 when the TPU pool was down)."""
     import jax
+    try:
+        return jax.devices(), None
+    except Exception as e:  # backend init failed — retry on host CPU
+        note = f"{type(e).__name__}: {e}"
+        try:
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            jax.config.update("jax_platforms", "cpu")
+            return jax.devices("cpu"), note
+        except Exception as e2:
+            raise RuntimeError(f"{note}; cpu fallback: {e2}") from e2
 
-    out = {"device": str(jax.devices()[0])}
-    ok = bench_msm(out)
-    if not os.environ.get("BENCH_SKIP_NTT"):
-        bench_ntt(out)
-    if not os.environ.get("BENCH_SKIP_FR"):
-        bench_fr_mul(out)
-    if not os.environ.get("BENCH_SKIP_PROVE"):
-        ok = bench_prove(out) and ok
-    if os.environ.get("BENCH_PAIRING"):
-        ok = bench_pairing(out) and ok
-    if os.environ.get("BENCH_MNT"):
-        ok = bench_mnt_verify(out) and ok
-    out["all_checks_ok"] = bool(ok)
-    print(json.dumps(out))
-    return 0 if ok else 1
+
+def main():
+    out = {}
+    try:
+        devices, backend_error = _init_backend()
+        out["device"] = str(devices[0])
+        if backend_error is not None:
+            out["backend_error"] = backend_error
+            out["backend_fallback"] = "cpu"
+            # CPU can't finish the 2^20 production shapes in bench budget;
+            # scale down so the outage round still records real numbers.
+            os.environ.setdefault("BENCH_MSM_BITS", "14")
+            os.environ.setdefault("BENCH_NTT_BITS", "14")
+            os.environ.setdefault("BENCH_PROVE_BITS", "0")
+        ok = bench_msm(out)
+        if not os.environ.get("BENCH_SKIP_NTT"):
+            bench_ntt(out)
+        if not os.environ.get("BENCH_SKIP_FR"):
+            bench_fr_mul(out)
+        if not os.environ.get("BENCH_SKIP_PROVE"):
+            ok = bench_prove(out) and ok
+        if os.environ.get("BENCH_PAIRING"):
+            ok = bench_pairing(out) and ok
+        if os.environ.get("BENCH_MNT"):
+            ok = bench_mnt_verify(out) and ok
+        out["all_checks_ok"] = bool(ok)
+        print(json.dumps(out))
+        return 0 if ok else 1
+    except Exception as e:
+        import traceback
+        out.setdefault("metric", "bench error")
+        out.setdefault("value", 0)
+        out.setdefault("unit", "error")
+        out.setdefault("vs_baseline", 0)
+        out["error"] = f"{type(e).__name__}: {e}"
+        out["traceback_tail"] = traceback.format_exc().splitlines()[-3:]
+        out["all_checks_ok"] = False
+        print(json.dumps(out))
+        return 1
 
 
 if __name__ == "__main__":

@@ -81,6 +81,29 @@ def test_inverse_and_pow(name, q):
         assert g == pow(v, 7, q) * spec.R % q
 
 
+@pytest.mark.parametrize("name,q", MODULI[2:4], ids=lambda v: str(v)[:12])
+def test_batch_inv(name, q):
+    """Montgomery-trick simultaneous inversion: one Fermat ladder for K
+    elements, zeros pass through as zero (int_inverseMod/f1m_inverse
+    parity, build_int.js:926-1054 / build_f1m.js:772-782)."""
+    spec = FieldSpec(q, name)
+    F = FpDevice(spec)
+    vals = gen_values(q, n_random=8)[:12]
+    vals[3] = 0  # zero lane must not poison the shared product chain
+    cols = [[(v * (k + 1) + k) % q for v in vals] for k in range(4)]
+    Xs = [F.pack([v * spec.R % q for v in col]) for col in cols]
+    outs = jax.jit(lambda xs: F.batch_inv(xs))(Xs)
+    for col, o in zip(cols, outs):
+        got = F.unpack(o)
+        for v, g in zip(col, got):
+            want = 0 if v == 0 else pow(v, -1, q) * spec.R % q
+            assert g == want
+    # K=1 fast path
+    (o1,) = jax.jit(lambda xs: F.batch_inv(xs))([Xs[0]])
+    for v, g in zip(cols[0], F.unpack(o1)):
+        assert g == (0 if v == 0 else pow(v, -1, q) * spec.R % q)
+
+
 def test_broadcast_mul():
     spec = FieldSpec(BN128_R)
     F = FpDevice(spec)

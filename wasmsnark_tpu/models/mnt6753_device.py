@@ -52,13 +52,23 @@ class Mnt6753Device:
         a_m = self._const(A)
         b_m = self._const(CURVE_B)
 
+        # Fraction-tracked form: with s = 2*N1/D1 (N1 = ct+projz,
+        # D1 = ct*t+1) the reference's two *chained* inversions
+        # (s-denominator then y-denominator) decouple algebraically —
+        # z = (projz*D1 - 2*N1)/D1 and y = (D1 - 2*N1*t)/D1, so
+        # v = z/y - half needs inv(D1 - 2*N1*t), and y itself needs
+        # inv(D1); both come out of ONE shared Fermat ladder via
+        # batch_inv (~1500 Montgomery muls saved per call).
+        # (Assumes D1 != 0, i.e. conic*t^2 != -1 — the reference's
+        # inverseMod path makes the same non-exceptional assumption.)
         ct = F.mont_mul(conic, tm)
-        s = F.mont_mul(F.add(ct, projz),
-                       F.mont_inv(F.add(F.mont_mul(ct, tm), one)))
-        s = F.add(s, s)
-        z = F.sub(projz, s)
-        y = F.sub(one, F.mont_mul(s, tm))
-        v = F.sub(F.mont_mul(z, F.mont_inv(y)), half)
+        d1 = F.add(F.mont_mul(ct, tm), one)
+        two_n1 = F.add(F.add(ct, projz), F.add(ct, projz))
+        y_num = F.sub(d1, F.mont_mul(two_n1, tm))
+        z_num = F.sub(F.mont_mul(projz, d1), two_n1)
+        inv_ynum, inv_d1 = F.batch_inv([y_num, d1])
+        v = F.sub(F.mont_mul(z_num, inv_ynum), half)
+        y = F.mont_mul(y_num, inv_d1)
 
         def rhs(x):
             return F.add(
@@ -68,8 +78,9 @@ class Mnt6753Device:
         x2 = F.neg(F.add(one, v))
         x3 = F.add(one, F.mont_sqr(y))
         y1, y2c, y3 = rhs(x1), rhs(x2), rhs(x3)
-        m1 = self.sq.is_square(y1)
-        m2 = self.sq.is_square(y2c)
+        # one Euler ladder for both candidates (stacked on a new axis)
+        m12 = self.sq.is_square(jnp.stack([y1, y2c], axis=1))
+        m1, m2 = m12[0], m12[1]
         # first candidate with square RHS wins (same order as the reference)
         x = F.select(m1, x1, F.select(m2, x2, x3))
         ysq = F.select(m1, y1, F.select(m2, y2c, y3))

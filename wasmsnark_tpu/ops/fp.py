@@ -347,6 +347,40 @@ class FpDevice:
         """Batched inversion via Fermat: x^(q-2) (Montgomery form in/out)."""
         return self.mont_pow_const(x, self.spec.q - 2)
 
+    def batch_inv(self, xs):
+        """Simultaneous inversion (Montgomery's trick): K same-shape
+        Montgomery elements inverted with ONE Fermat ladder + 3(K-1) muls,
+        vs K ladders (a ladder is ~2*log2(q) muls — ~1500 for MNT6753).
+
+        The reference pays one extended-Euclid int_inverseMod per element
+        (build_int.js:926-1054, wrapped by f1m_inverse at
+        build_f1m.js:772-782); data-dependent Euclid loops don't map to
+        XLA, so the TPU design amortizes one Fermat ladder across the set
+        instead.  Zero inputs invert to zero (Fermat semantics), protected
+        from poisoning the shared product chain by a masked substitution.
+
+        xs: sequence of [L, *B] arrays -> list of their inverses."""
+        xs = list(xs)
+        if len(xs) == 1:
+            return [self.mont_inv(xs[0])]
+        one = jnp.broadcast_to(
+            jnp.asarray(self.one_mont_np).reshape(
+                (self.L,) + (1,) * (xs[0].ndim - 1)),
+            xs[0].shape).astype(U32)
+        zmask = [self.is_zero(x) for x in xs]
+        safe = [self.select(m, one, x) for m, x in zip(zmask, xs)]
+        pref = [safe[0]]
+        for x in safe[1:]:
+            pref.append(self.mont_mul(pref[-1], x))
+        u = self.mont_inv(pref[-1])
+        out = [None] * len(xs)
+        for i in range(len(xs) - 1, 0, -1):
+            out[i] = self.mont_mul(u, pref[i - 1])
+            u = self.mont_mul(u, safe[i])
+        out[0] = u
+        zero = jnp.zeros_like(xs[0])
+        return [self.select(m, zero, o) for m, o in zip(zmask, out)]
+
     # -- convenience constants -------------------------------------------------
 
     def zeros(self, *batch):
@@ -461,8 +495,12 @@ class FpSqrt:
         lanes elsewhere — callers mask).  Returns Montgomery form."""
         F = self.fp
         s, t = self.s, self.t
-        r = F.mont_pow_const(x, (t + 1) // 2)
-        b = F.mont_pow_const(x, t)
+        # One shared ladder for both Tonelli seeds (t is odd):
+        #   u = x^((t-1)/2);  r = u*x = x^((t+1)/2);  b = r*u = x^t
+        # — halves the dominant big-exponent cost vs two ladders.
+        u = F.mont_pow_const(x, (t - 1) // 2)
+        r = F.mont_mul(u, x)
+        b = F.mont_mul(r, u)
         c = jnp.broadcast_to(
             jnp.asarray(self.c0_np).reshape((F.L,) + (1,) * (x.ndim - 1)),
             x.shape).astype(U32)
