@@ -112,3 +112,63 @@ def test_construct_lc_matches_oracle():
     for s, c, v in zip(sig_idx, coef_idx, coefs):
         exp[c] = (exp[c] + signals[s] * v) % q
     assert out == exp
+
+
+@pytest.mark.skipif(
+    os.environ.get("WASMSNARK_TPU_SLOW_TESTS") != "1"
+    or not os.path.exists(REF),
+    reason="device pairing compile is heavy; set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_groth16_verify_batch_device(rt):
+    """Batched DEVICE verification through the prepared-coefficient path
+    (gamma2/delta2/beta2 ride the per-vk prepareG2 cache,
+    build_bn128.js:459-575): the committed reference proof verifies, a
+    tampered copy fails, and a second batch with the same vk reuses the
+    cached prepared coefficients."""
+    from wasmsnark_tpu.groth16.verifier import groth16_verify_batch
+    vk = json.load(open(f"{REF}/verification_key.json"))
+    pub = json.load(open(f"{REF}/public.json"))
+    proof = json.load(open(f"{REF}/proof_good.json"))
+    bad = json.loads(json.dumps(proof))
+    bad["pi_a"][0] = str(int(bad["pi_a"][0]) + 1)
+    got = groth16_verify_batch(vk, [pub, pub], [proof, bad])
+    assert got == [True, False]
+    # steady state: same vk -> prepared coeffs cached, one more batch
+    got = groth16_verify_batch(vk, [pub], [proof])
+    assert got == [True]
+
+
+@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+def test_groth16_verify_batch_program_traces():
+    """Fast tier: the batched device-verification program (prepared pi_b
+    ladder + per-vk fixed-G2 prepared coefficients + 4-pair product + final
+    exponentiation) traces end-to-end on real marshalled inputs via
+    jax.eval_shape — no backend compile (the SLOW test above executes it).
+    Guards the prepared-coefficient assembly against shape/structure bugs
+    on every default-tier run."""
+    import jax
+    import numpy as np
+    from wasmsnark_tpu.groth16 import verifier as V
+    from wasmsnark_tpu.ops.pairing import bn128_pairing_device
+
+    vk = json.load(open(f"{REF}/verification_key.json"))
+    pub = json.load(open(f"{REF}/public.json"))
+    proof = json.load(open(f"{REF}/proof_good.json"))
+
+    pd = bn128_pairing_device()
+    V._pairing_batch_jit(pd)          # materialize, then patch
+    real = pd._batch_jit
+    calls = []
+
+    def fake(g1, g2_b, fixed):
+        out = jax.eval_shape(real, g1, g2_b, fixed)
+        calls.append(out)
+        assert out.shape == (2,)
+        return np.zeros(out.shape, bool)
+
+    pd._batch_jit = fake
+    try:
+        got = V.groth16_verify_batch(vk, [pub, pub], [proof, proof])
+    finally:
+        pd._batch_jit = real
+    assert got == [False, False]      # fake returns zeros
+    assert len(calls) == 1

@@ -151,3 +151,49 @@ def test_bowe_gabizon_device_verifier_testvectors(fused):
         [tvs[0]["input"], tvs[0]["input"]],
         [tvs[0]["proof"], bad], fused=fused)
     assert got == [True, False]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA),
+                    reason="reference data unavailable")
+def test_bowe_gabizon_device_program_traces():
+    """Fast tier: the COMPOSED device verifier program (groupMap + prepared
+    5-pair Miller product + final exponentiation) traces end-to-end with
+    the real marshalled Coda-vector inputs — jax.eval_shape instead of
+    execution, because the 48-limb XLA:CPU compile is infeasible (the SLOW
+    test above and BENCH_MNT=1 execute it on a real accelerator).  Catches
+    shape/structure bugs in the prepared-coefficient assembly without a
+    backend compile; the Pedersen program still executes for real."""
+    import jax
+    import numpy as np
+
+    with open(os.path.join(REF_DATA, "mnt6753verifier_testvector.json")) as f:
+        tv = json.load(f)
+    rt = Mnt6753Runtime()
+    traced = {"prepare": 0, "check_fused": 0}
+    jits = rt._jit  # materialize the cached_property before patching
+
+    real_prepare = jits["prepare"]
+    real_check = jits["check_fused"]
+
+    def fake_prepare(packed):
+        traced["prepare"] += 1
+        return jax.eval_shape(real_prepare, packed)
+
+    def fake_check(*args):
+        traced["check_fused"] += 1
+        out = jax.eval_shape(real_check, *args)
+        assert out.shape == (2,), out.shape
+        assert out.dtype == np.bool_ or str(out.dtype) == "bool"
+        return np.zeros(out.shape, bool)
+
+    jits["prepare"] = fake_prepare
+    jits["check_fused"] = fake_check
+    try:
+        got = rt.bowe_gabizon_verify_batch(
+            tv["verificationKey"], [tv["input"]] * 2, [tv["proof"]] * 2,
+            fused=True)
+    finally:
+        jits["prepare"] = real_prepare
+        jits["check_fused"] = real_check
+    assert got == [False, False]  # fake check returns zeros
+    assert traced == {"prepare": 1, "check_fused": 1}

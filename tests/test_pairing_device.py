@@ -240,3 +240,122 @@ def test_mnt6753_device_pairing_matches_oracle():
     e = jax.jit(lambda a, b: pd3.final_exponentiation(pd3.miller_loop(a, b)))(g1, g2)
     e_o = m.final_exponentiation(m.miller_loop((p1[0], p1[1]), (q1[0], q1[1])))
     assert pd3.unpack_f6(e)[0] == e_o
+
+
+# ---------------------------------------------------------------------------
+# Prepared pairing inputs (prepareG2 / PRECOMPUTE pattern)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_tree(pd, tree):
+    return jax.tree.map(
+        lambda a: pd.fp.unpack_mont(np.asarray(a)), tree)
+
+
+def test_prepared_coefs_match_direct_steps_bn(pd):
+    """Fast tier: the pre-P coefficients emitted by prepare_g2 reproduce the
+    direct _dbl_step/_add_step line values at P for the first two schedule
+    steps (dbl, then dbl-or-add per the ate bits)."""
+    from wasmsnark_tpu.ops.pairing import _step_flags
+    m = pd.m
+    q2 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 5))
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 3))
+    g1 = pd.pack_g1([(p1[0], p1[1])])
+    g2 = pd.pack_g2([(q2[0], q2[1])])
+    xQ, yQ = g2
+
+    coeffs = jax.jit(pd.prepare_g2)(g2)
+    flags = _step_flags(pd.loop_bits, n_corr=2)
+    assert jax.tree.leaves(coeffs)[0].shape[0] == len(flags)
+
+    @jax.jit
+    def direct(g1, g2):
+        xP, yP = g1
+        xQ, yQ = g2
+        one = pd.F2d.one_like(xQ)
+        l1, X, Y, Z = pd._dbl_step(xQ, yQ, one, xP, yP)
+        if flags[1]:
+            l2, _, _, _ = pd._add_step(X, Y, Z, xQ, yQ, xP, yP)
+        else:
+            l2, _, _, _ = pd._dbl_step(X, Y, Z, xP, yP)
+        return l1, l2
+
+    @jax.jit
+    def prepared(g1, coeffs):
+        c0 = jax.tree.map(lambda a: a[0], coeffs)
+        c1 = jax.tree.map(lambda a: a[1], coeffs)
+        return (pd._line_from_coefs(c0, g1[0], g1[1]),
+                pd._line_from_coefs(c1, g1[0], g1[1]))
+
+    d1, d2 = direct(g1, g2)
+    p1l, p2l = prepared(g1, coeffs)
+    assert _unpack_tree(pd, d1) == _unpack_tree(pd, p1l)
+    assert _unpack_tree(pd, d2) == _unpack_tree(pd, p2l)
+
+
+def test_prepared_coefs_match_direct_steps_mnt():
+    """Fast tier, MNT6753: prepared coefficients reproduce the direct
+    mnt_dbl/add_formula line values (first two schedule steps)."""
+    from wasmsnark_tpu.ops.pairing import mnt6753_pairing_device, _step_flags
+    pd3 = mnt6753_pairing_device()
+    m = pd3.m
+    q2 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 5))
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 3))
+    g1 = pd3.pack_g1([(p1[0], p1[1])])
+    g2 = pd3.pack_g2([(q2[0], q2[1])])
+    flags = _step_flags(pd3.loop_bits)
+
+    @jax.jit
+    def direct(g1, g2):
+        xP, yP = g1
+        xQ, yQ = g2
+        one = pd3.F3d.one_like(xQ)
+        l1, X, Y, Z = pd3._dbl_step(xQ, yQ, one, xP, yP)
+        if flags[1]:
+            l2, _, _, _ = pd3._add_step(X, Y, Z, xQ, yQ, xP, yP)
+        else:
+            l2, _, _, _ = pd3._dbl_step(X, Y, Z, xP, yP)
+        return l1, l2
+
+    @jax.jit
+    def prepared(g1, g2):
+        coeffs = pd3.prepare_g2(g2)
+        c0 = jax.tree.map(lambda a: a[0], coeffs)
+        c1 = jax.tree.map(lambda a: a[1], coeffs)
+        return (pd3._line_from_coefs(c0, g1[0], g1[1]),
+                pd3._line_from_coefs(c1, g1[0], g1[1]))
+
+    d1, d2 = direct(g1, g2)
+    p1l, p2l = prepared(g1, g2)
+    assert _unpack_tree(pd3, d1) == _unpack_tree(pd3, p1l)
+    assert _unpack_tree(pd3, d2) == _unpack_tree(pd3, p2l)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_prepared_miller_loop_matches_direct_bn(pd):
+    """miller_loop_prepared(g1, prepare_g2(g2)) == miller_loop(g1, g2)
+    bit-exactly (incl. the two Frobenius correction steps)."""
+    m = pd.m
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 10))
+    q2 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 7))
+    g1 = pd.pack_g1([(p1[0], p1[1])])
+    g2 = pd.pack_g2([(q2[0], q2[1])])
+    want = jax.jit(pd.miller_loop)(g1, g2)
+    got = jax.jit(
+        lambda g1, g2: pd.miller_loop_prepared(g1, pd.prepare_g2(g2)))(g1, g2)
+    assert pd.unpack_f12(got) == pd.unpack_f12(want)
+
+
+@pytest.mark.skipif(not SLOW, reason="set WASMSNARK_TPU_SLOW_TESTS=1")
+def test_prepared_miller_loop_matches_direct_bls():
+    from wasmsnark_tpu.ops.pairing import bls12381_pairing_device
+    pd2 = bls12381_pairing_device()
+    m = pd2.m
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 10))
+    q2 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 7))
+    g1 = pd2.pack_g1([(p1[0], p1[1])])
+    g2 = pd2.pack_g2([(q2[0], q2[1])])
+    want = jax.jit(pd2.miller_loop)(g1, g2)
+    got = jax.jit(
+        lambda g1, g2: pd2.miller_loop_prepared(g1, pd2.prepare_g2(g2)))(g1, g2)
+    assert pd2.unpack_f12(got) == pd2.unpack_f12(want)

@@ -179,21 +179,54 @@ def groth16_verify_batch(vk: dict, inputs_list, proofs,
                 g2_rows[k].append((g2_gen_aff[0], g2_gen_aff[1]))
 
     g1 = pd.pack_g1([p for row in g1_rows for p in row])   # [L, 4N]
-    g2 = pd.pack_g2([p for row in g2_rows for p in row])
     from ..ops.curve import map_leaf
     g1 = map_leaf(g1, lambda a: a.reshape(a.shape[0], 4, n))
-    g2 = map_leaf(g2, lambda a: a.reshape(a.shape[0], 4, n))
+    # only pair 0's G2 (pi_b) varies per proof; gamma2/delta2/beta2 are
+    # vk constants and ride the prepared-coefficient cache (the prepareG2
+    # pattern, build_bn128.js:459-575) — 3 of the 4 G2 ate ladders are
+    # precomputed once per vk instead of re-run per batch
+    g2_b = pd.pack_g2(g2_rows[0])
+    g2_b = map_leaf(g2_b, lambda a: a.reshape(a.shape[0], 1, n))
+    fixed = _prepared_vk_coeffs(pd, (gamma2, delta2, beta2), m)
 
     run = _pairing_batch_jit(pd)
-    ok = np.asarray(run(g1, g2))
+    ok = np.asarray(run(g1, g2_b, fixed))
     return [bool(ok[i]) if ok_host[i] is True else False for i in range(n)]
+
+
+def _prepared_vk_coeffs(pd, g2_fixed, m):
+    """Prepared line coefficients for the vk's fixed G2 points
+    (gamma2, delta2, beta2) — device leaves [S, L, 3], cached per vk."""
+    import jax
+    cache = getattr(pd, "_vk_prep_cache", None)
+    if cache is None:
+        cache = pd._vk_prep_cache = {}
+    pts = tuple(m.G2.affine(p) for p in g2_fixed)
+    key = tuple((p[0], p[1]) for p in pts)
+    if key not in cache:
+        if len(cache) >= 4:
+            cache.clear()
+        if not hasattr(pd, "_prepare_jit"):
+            pd._prepare_jit = jax.jit(pd.prepare_g2)
+        cache[key] = pd._prepare_jit(pd.pack_g2(list(key)))
+    return cache[key]
 
 
 def _pairing_batch_jit(pd):
     import jax
+    import jax.numpy as jnp
     if not hasattr(pd, "_batch_jit"):
-        def run(g1, g2):
-            e = pd.pairing_product(g1, g2, 4)
+        def run(g1, g2_b, fixed):
+            # g1 leaves [L, 4, N]; g2_b F2 leaves [L, 1, N];
+            # fixed coeff leaves [S, L, 3]
+            prep_b = pd.prepare_g2(g2_b)        # leaves [S, L, 1, N]
+            N = g1[0].shape[-1]
+            coeffs = jax.tree.map(
+                lambda b, f: jnp.concatenate(
+                    [b, jnp.broadcast_to(f[..., None],
+                                         f.shape[:2] + (3, N))], axis=2),
+                prep_b, fixed)
+            e = pd.pairing_product_prepared(g1, coeffs, 4)
             return pd.is_one(e)
         pd._batch_jit = jax.jit(run)
     return pd._batch_jit

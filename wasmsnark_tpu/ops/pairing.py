@@ -106,6 +106,103 @@ def _windowed_cyc_exp(one, mul, sqr, select, f, e: int, w: int = 4):
     return r
 
 
+# ---------------------------------------------------------------------------
+# Prepared pairing inputs (the reference's prepareG2 / PRECOMPUTE pattern,
+# build_bn128.js:459-575 and src/mnt6753.js:151-176): for a fixed G2 point
+# the per-step line coefficients depend only on the G2 ladder, so they are
+# computed ONCE and reused across Miller loops.  Every step's line is
+# described by three tower coefficients (c_y, c_x, c_0):
+#
+#     line(P) = slot_y(c_y * yP)  +  slot_x(c_x * xP)  +  slot_0(c_0)
+#
+# with the slot placement per curve (_line_from_coefs).  A prepared Miller
+# loop is then a scan over the static dbl/add schedule whose body is just
+# "maybe-square f, sparse-multiply line" — no point updates, roughly half
+# the per-step field work, and a much smaller traced graph.
+# ---------------------------------------------------------------------------
+
+
+def _step_flags(loop_bits, n_corr: int = 0):
+    """Static dbl/add step schedule of the ate ladder: one dbl step per bit
+    plus an add step after each 1-bit, plus n_corr trailing correction
+    adds.  uint32 array, 0 = dbl, 1 = add."""
+    flags = []
+    for b in np.asarray(loop_bits).tolist():
+        flags.append(0)
+        if b:
+            flags.append(1)
+    flags.extend([1] * n_corr)
+    return np.asarray(flags, dtype=np.uint32)
+
+
+def _g2_dbl_coefs(F2, X, Y, Z):
+    """G2-only half of the doubling step: pre-P line coefficients
+    (c_y, c_x, c_0) plus the doubled point (same algebra as _dbl_step)."""
+    X2 = F2.square(X); Y2 = F2.square(Y); Z2 = F2.square(Z)
+    Y2Z = F2.mul(Y2, Z)
+    YZ2 = F2.mul(Y, Z2)
+    c_y = F2.add(YZ2, YZ2)
+    c_x = F2.neg(F2.mul_small(F2.mul(X2, Z), 3))
+    X3c = F2.mul(X2, X)
+    c_0 = F2.sub(F2.mul_small(X3c, 3), F2.mul_small(Y2Z, 2))
+    X4 = F2.square(X2)
+    t1 = F2.sub(F2.mul_small(X4, 9), F2.mul_small(F2.mul(X, Y2Z), 8))
+    Xn = F2.mul(F2.mul_small(F2.mul(Y, Z), 2), t1)
+    Yn = F2.sub(
+        F2.sub(F2.mul_small(F2.mul(X3c, Y2Z), 36),
+               F2.mul_small(F2.mul(X4, X2), 27)),
+        F2.mul_small(F2.square(Y2Z), 8))
+    Zn = F2.mul_small(F2.mul(F2.mul(Y2, Y), F2.mul(Z2, Z)), 8)
+    return (c_y, c_x, c_0), Xn, Yn, Zn
+
+
+def _g2_add_coefs(F2, X, Y, Z, x2, y2):
+    """G2-only half of the mixed-add step (same algebra as _add_step)."""
+    th = F2.sub(F2.mul(y2, Z), Y)
+    lm = F2.sub(F2.mul(x2, Z), X)
+    c_y = lm
+    c_x = F2.neg(th)
+    c_0 = F2.sub(F2.mul(th, x2), F2.mul(lm, y2))
+    C = F2.square(th); D = F2.square(lm); E = F2.mul(lm, D)
+    Fv = F2.mul(Z, C); G = F2.mul(X, D)
+    H = F2.sub(F2.sub(Fv, F2.mul_small(G, 2)), E)
+    Xn = F2.mul(lm, H)
+    Yn = F2.sub(F2.mul(th, F2.sub(G, H)), F2.mul(E, Y))
+    Zn = F2.mul(Z, E)
+    return (c_y, c_x, c_0), Xn, Yn, Zn
+
+
+def _coef_ladder(F2, xQ, yQ, loop_flags, dbl_coefs, add_coefs):
+    """Run the G2 ladder over the static schedule, emitting per-step
+    coefficients: scan over flags with a two-branch cond body.  Returns
+    (coeffs with leading step axis [S, ...], final (X, Y, Z))."""
+    X, Y, Z = xQ, yQ, F2.one_like(xQ)
+
+    def body(st, flag):
+        X, Y, Z = st
+
+        def dbl(_):
+            return dbl_coefs(X, Y, Z)
+
+        def add(_):
+            return add_coefs(X, Y, Z, xQ, yQ)
+
+        c, Xn, Yn, Zn = jax.lax.cond(flag != 0, add, dbl, None)
+        return (Xn, Yn, Zn), c
+
+    (X, Y, Z), coeffs = jax.lax.scan(
+        body, (X, Y, Z), jnp.asarray(loop_flags))
+    return coeffs, (X, Y, Z)
+
+
+def _append_steps(coeffs, extra):
+    """Append per-step coefficient pytrees (no step axis) to a stacked
+    coefficient pytree (leading step axis)."""
+    return jax.tree.map(
+        lambda s, *xs: jnp.concatenate([s] + [x[None] for x in xs], axis=0),
+        coeffs, *extra)
+
+
 class Bn128PairingDevice:
     """Device pairing engine for BN128 (specialized per the module oracle)."""
 
@@ -308,6 +405,79 @@ class Bn128PairingDevice:
         l, X, Y, Z = self._add_step(X, Y, Z, x2, y2, xP, yP)
         f = self._f12_mul(f, l)
         return f
+
+    # -- prepared pairing inputs (prepareG2, build_bn128.js:459-575) -----------
+
+    @functools.cached_property
+    def _prep_flags(self):
+        return _step_flags(self.loop_bits, n_corr=2)
+
+    def prepare_g2(self, g2):
+        """Emit the per-step line coefficients of the ate ladder for g2
+        (leaves [L, *B]) — the device form of the reference's prepareG2
+        coefficient arrays.  Returns a pytree with leading step axis
+        (leaves [S, L, *B]); reuse across any number of Miller loops via
+        miller_loop_prepared."""
+        F2d = self.F2d
+        xQ, yQ = g2
+        coeffs, (X, Y, Z) = _coef_ladder(
+            F2d, xQ, yQ, _step_flags(self.loop_bits),
+            lambda X, Y, Z: _g2_dbl_coefs(F2d, X, Y, Z),
+            lambda X, Y, Z, x2, y2: _g2_add_coefs(F2d, X, Y, Z, x2, y2))
+        # Frobenius correction add-steps (build_bn128.js:530-575)
+        like = _leaf0(xQ)
+        bc = lambda c: map_leaf(c, lambda a: jnp.broadcast_to(
+            a.reshape((a.shape[0],) + (1,) * (like.ndim - 1)), like.shape))
+        x1 = F2d.mul(F2d.conjugate(xQ), bc(self._g12))
+        y1 = F2d.mul(F2d.conjugate(yQ), bc(self._g13))
+        c1, X, Y, Z = _g2_add_coefs(F2d, X, Y, Z, x1, y1)
+        x2 = F2d.mul(xQ, bc(self._g22))
+        y2 = F2d.neg(F2d.mul(yQ, bc(self._g23)))
+        c2, X, Y, Z = _g2_add_coefs(F2d, X, Y, Z, x2, y2)
+        return _append_steps(coeffs, [c1, c2])
+
+    def _line_from_coefs(self, c, xP, yP):
+        """(c_y, c_x, c_0) -> sparse line at P: a0 = c_y*yP, b0 = c_x*xP,
+        b1 = c_0 (the ELL slot layout of _dbl_step/_add_step)."""
+        F2d = self.F2d
+        c_y, c_x, c_0 = c
+        a0 = F2d.mul_base(c_y, yP)
+        b0 = F2d.mul_base(c_x, xP)
+        like = _leaf0(a0)
+        b1 = map_leaf(c_0, lambda a: jnp.broadcast_to(a, like.shape))
+        return self._sparse(a0, b0, b1)
+
+    def miller_loop_prepared(self, g1, coeffs):
+        """Miller loop consuming prepared coefficients: same value as
+        miller_loop(g1, g2) for coeffs = prepare_g2(g2), but each step is
+        only a (conditional) f squaring + sparse line multiply."""
+        xP, yP = g1
+        f = self._f12_one(xP)
+
+        def body(f, xs):
+            flag, c = xs
+            l = self._line_from_coefs(c, xP, yP)
+            f = jax.lax.cond(flag != 0, lambda v: v, self._f12_sqr, f)
+            return self._f12_mul(f, l), None
+
+        f, _ = jax.lax.scan(
+            body, f, (jnp.asarray(self._prep_flags), coeffs))
+        return f
+
+    def pairing_product_prepared(self, g1, coeffs, n_pairs: int):
+        """pairing_product through prepared coefficients (pairs axis at
+        position 1 in g1 leaves and position 2 in coeff leaves)."""
+        f = self.miller_loop_prepared(g1, coeffs)
+        k = n_pairs
+        while k > 1:
+            assert k % 2 == 0, "pad pairs to a power of two"
+            half = k // 2
+            left = map_leaf(f, lambda a: a[:, :half])
+            right = map_leaf(f, lambda a: a[:, half:k])
+            f = self._f12_mul(left, right)
+            k = half
+        f = map_leaf(f, lambda a: a[:, 0])
+        return self.final_exponentiation(f)
 
     def _f12_one(self, like):
         F = self.base
@@ -619,6 +789,56 @@ class Bls12381PairingDevice:
         # negative loop: conjugate (== inverse after final exponentiation)
         return (f[0], self.F6d.neg(f[1]))
 
+    # -- prepared pairing inputs (no correction steps; M-twist slots) ----------
+
+    @functools.cached_property
+    def _prep_flags(self):
+        return _step_flags(self.loop_bits)
+
+    def prepare_g2(self, g2):
+        """Per-step line coefficients for g2 — xi is folded into c_y at
+        prepare time (the dbl/add a0 slots carry mul_xi on the M twist)."""
+        F2d = self.F2d
+        xQ, yQ = g2
+
+        def dbl(X, Y, Z):
+            (c_y, c_x, c_0), Xn, Yn, Zn = _g2_dbl_coefs(F2d, X, Y, Z)
+            return (self._mul_xi(c_y), c_x, c_0), Xn, Yn, Zn
+
+        def add(X, Y, Z, x2, y2):
+            (c_y, c_x, c_0), Xn, Yn, Zn = _g2_add_coefs(F2d, X, Y, Z, x2, y2)
+            return (self._mul_xi(c_y), c_x, c_0), Xn, Yn, Zn
+
+        coeffs, _ = _coef_ladder(F2d, xQ, yQ, self._prep_flags, dbl, add)
+        return coeffs
+
+    def _line_from_coefs(self, c, xP, yP):
+        """M-twist slots: a0 = c_y*yP, b1 = c_0, b2 = c_x*xP."""
+        F2d = self.F2d
+        c_y, c_x, c_0 = c
+        a0 = F2d.mul_base(c_y, yP)
+        b2 = F2d.mul_base(c_x, xP)
+        like = _leaf0(a0)
+        b1 = map_leaf(c_0, lambda a: jnp.broadcast_to(a, like.shape))
+        return self._sparse(a0, b1, b2)
+
+    def miller_loop_prepared(self, g1, coeffs):
+        xP, yP = g1
+        f = self._f12_one(xP)
+
+        def body(f, xs):
+            flag, c = xs
+            l = self._line_from_coefs(c, xP, yP)
+            f = jax.lax.cond(flag != 0, lambda v: v, self._f12_sqr, f)
+            return self._f12_mul(f, l), None
+
+        f, _ = jax.lax.scan(
+            body, f, (jnp.asarray(self._prep_flags), coeffs))
+        # negative loop: conjugate, as in miller_loop
+        return (f[0], self.F6d.neg(f[1]))
+
+    pairing_product_prepared = Bn128PairingDevice.pairing_product_prepared
+
     def final_exponentiation(self, f):
         """f^((q^12-1)/r), easy/hard split.  Easy part as in BN128; hard
         part = exact (q^4-q^2+1)/r via a 4-bit-window cyclotomic ladder
@@ -776,6 +996,113 @@ class Mnt6753PairingDevice:
         if tail:
             st = jax.lax.fori_loop(0, tail, dbl_once, st)
         return st[0]
+
+    # -- prepared pairing inputs (PRECOMPUTE_G1/G2, src/mnt6753.js:151-176) ----
+
+    @functools.cached_property
+    def _prep_flags(self):
+        return _step_flags(self.loop_bits)
+
+    def _dbl_coefs(self, X, Y, Z, a_small=11):
+        """G2-only half of mnt_dbl_formula: line(P) = v^2*(c_y*yP) +
+        (c_0 - v*(c_x*xP)) with c_y = 2YZ^2, c_x = WZ, c_0 = WX - 2Y^2Z."""
+        F3, mulv = self.F3d, self.mulv
+        X2 = F3.mul(X, X); Z2 = F3.mul(Z, Z); Y2 = F3.mul(Y, Y)
+        a2Z2 = F3.mul_small(mulv(mulv(Z2)), a_small)
+        W = F3.add(F3.mul_small(X2, 3), a2Z2)
+        YZ = F3.mul(Y, Z)
+        Y2Z = F3.mul(Y2, Z)
+        YZ2 = F3.mul(Y, Z2)
+        c_y = F3.mul_small(YZ2, 2)
+        c_x = F3.mul(W, Z)
+        c_0 = F3.sub(F3.mul(W, X), F3.mul_small(Y2Z, 2))
+        W2 = F3.mul(W, W)
+        XY2Z = F3.mul(X, Y2Z)
+        Xn = F3.mul(F3.mul_small(YZ, 2), F3.sub(W2, F3.mul_small(XY2Z, 8)))
+        Yn = F3.sub(F3.mul(W, F3.sub(F3.mul_small(XY2Z, 12), W2)),
+                    F3.mul_small(F3.mul(F3.mul(Y2, Y2), Z2), 8))
+        Zn = F3.mul_small(F3.mul(F3.mul(Y2, Y), F3.mul(Z2, Z)), 8)
+        return (c_y, c_x, c_0), Xn, Yn, Zn
+
+    def _add_coefs(self, X, Y, Z, x2, y2):
+        """G2-only half of mnt_add_formula: c_y = lm, c_x = th,
+        c_0 = th*x2 - y2*lm."""
+        F3 = self.F3d
+        th = F3.sub(F3.mul(y2, Z), Y)
+        lm = F3.sub(F3.mul(x2, Z), X)
+        c_0 = F3.sub(F3.mul(th, x2), F3.mul(y2, lm))
+        C = F3.mul(th, th); D = F3.mul(lm, lm); E = F3.mul(lm, D)
+        Fv = F3.mul(Z, C); G = F3.mul(X, D)
+        H = F3.sub(F3.sub(Fv, F3.mul_small(G, 2)), E)
+        Xn = F3.mul(lm, H)
+        Yn = F3.sub(F3.mul(th, F3.sub(G, H)), F3.mul(E, Y))
+        Zn = F3.mul(Z, E)
+        return (lm, th, c_0), Xn, Yn, Zn
+
+    def prepare_g2(self, g2):
+        """Per-step pre-P line coefficients of the ate ladder for g2
+        (leaves [L, *B] -> [S, L, *B]).  The device analogue of the
+        reference caching prepared G2 line data in its workers
+        (PRECOMPUTE command, src/mnt6753.js:151-176)."""
+        xQ, yQ = g2
+        coeffs, _ = _coef_ladder(
+            self.F3d, xQ, yQ, self._prep_flags,
+            self._dbl_coefs, self._add_coefs)
+        return coeffs
+
+    def _line_from_coefs(self, c, xP, yP):
+        F3, base, mulv = self.F3d, self.base, self.mulv
+        c_y, c_x, c_0 = c
+
+        def scal(a, s):
+            return tuple(base.mul(ci, s) for ci in a)
+
+        a0 = mulv(mulv(scal(c_y, yP)))
+        like = _leaf0(a0)
+        c0b = map_leaf(c_0, lambda a: jnp.broadcast_to(a, like.shape))
+        b = F3.sub(c0b, mulv(scal(c_x, xP)))
+        return (a0, b)
+
+    def miller_loop_prepared(self, g1, coeffs):
+        """Same value as miller_loop(g1, g2) for coeffs = prepare_g2(g2)."""
+        xP, yP = g1
+        f = self._f6_one(xP)
+
+        def body(f, xs):
+            flag, c = xs
+            l = self._line_from_coefs(c, xP, yP)
+            f = jax.lax.cond(flag != 0, lambda v: v, self._f6_sqr, f)
+            return self._f6_mul(f, l), None
+
+        f, _ = jax.lax.scan(
+            body, f, (jnp.asarray(self._prep_flags), coeffs))
+        return f
+
+    def miller_loop_fused_prepared(self, g1, coeffs):
+        """Fused multi-pair Miller loop over prepared coefficients: pairs
+        ride axis 1 (g1 leaves [L, k, *B], coeff leaves [S, L, k, *B?]);
+        one running f per batch element, one squaring per doubling step."""
+        xP, yP = g1
+        f = self._f6_one(map_leaf(xP, lambda a: a[:, 0]))
+
+        def body(f, xs):
+            flag, c = xs
+            l = self._line_from_coefs(c, xP, yP)
+            lp = self._f6_prod_pairs(l)
+            f = jax.lax.cond(flag != 0, lambda v: v, self._f6_sqr, f)
+            return self._f6_mul(f, lp), None
+
+        f, _ = jax.lax.scan(
+            body, f, (jnp.asarray(self._prep_flags), coeffs))
+        return f
+
+    def pairing_products_prepared(self, g1, coeffs, fused: bool = True):
+        """prod_j e(P_j, Q_j) per batch lane from prepared coefficients."""
+        if fused:
+            f = self.miller_loop_fused_prepared(g1, coeffs)
+        else:
+            f = self._f6_prod_pairs(self.miller_loop_prepared(g1, coeffs))
+        return self.final_exponentiation(f)
 
     def frobenius(self, f):
         """f^q on F6 over Fp: per-component Fp-scalar multiply by the
