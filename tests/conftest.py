@@ -17,6 +17,14 @@ import os
 # WASMSNARK_TPU_TEST_BACKEND forces a specific backend either way.
 if "WASMSNARK_TPU_TEST_BACKEND" in os.environ:
     os.environ["JAX_PLATFORMS"] = os.environ["WASMSNARK_TPU_TEST_BACKEND"]
+    # chip tier: a real accelerator backend compiles the heavy composed
+    # programs in minutes, so the SLOW set (production window c=16 MSM,
+    # BLS12-381 e2e, composed device pairings, external interop, 2^20/2^21
+    # scale runs) is enabled automatically — one command exercises the
+    # production configuration:
+    #     WASMSNARK_TPU_TEST_BACKEND=axon python -m pytest tests/ -q
+    if os.environ["JAX_PLATFORMS"] not in ("cpu",):
+        os.environ.setdefault("WASMSNARK_TPU_SLOW_TESTS", "1")
 else:
     # default tier runs on CPU: fast, parallel-safe, and does not contend
     # for the single tunneled TPU (the axon sitecustomize hook force-selects
@@ -27,7 +35,16 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap the CPU codegen ISA: without this, XLA:CPU embeds tuning
+# pseudo-features (+prefer-no-scatter/+prefer-no-gather) in persistent-cache
+# entries that the AOT loader's host-feature check then rejects — every test
+# process recompiles everything.  AVX2 entries round-trip cleanly, making
+# the .jax_cache actually deliver its no-recompile guarantee on CPU.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu") \
+        and "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import random  # noqa: E402
 

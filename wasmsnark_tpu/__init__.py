@@ -25,6 +25,16 @@ import os as _os
 # build/*_wasm.js so production never regenerates code (SURVEY.md §5
 # checkpoint/resume).  Opt out with WASMSNARK_TPU_NO_CACHE=1.
 if not _os.environ.get("WASMSNARK_TPU_NO_CACHE"):
+    # Cap XLA:CPU codegen at AVX2: without it, native codegen embeds
+    # tuning pseudo-features (+prefer-no-scatter/+prefer-no-gather) in the
+    # cache entries that the AOT loader's host-feature check rejects on
+    # reload, silently recompiling everything.  AVX2 entries round-trip.
+    # Effective as long as no backend has initialized yet; harmless for
+    # TPU backends (the flag only affects CPU compilation).
+    _flags = _os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in _flags:
+        _os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+
     import jax as _jax
 
     _cache_dir = _os.environ.get(

@@ -65,7 +65,7 @@ class Groth16Prover:
     serves both since every kernel is specialized by FieldSpec)."""
 
     def __init__(self, msm_window_bits: int | None = None,
-                 curve: str = "bn128", mesh=None):
+                 curve: str = "bn128", mesh=None, artifacts=None):
         self.m = _module(curve)
         self.Fp = FpDevice(self.m.fp_spec)
         self.Fr = FpDevice(self.m.fr_spec)
@@ -75,10 +75,39 @@ class Groth16Prover:
         self.G2d = JacobianDevice(F2Device(a1, a1.neg))
         self.window_bits = msm_window_bits
         self.mesh = mesh
+        # {name: jax.export.Exported} from artifacts.load_bundle: programs
+        # whose input signatures match skip tracing + lowering entirely
+        # (the build/*_wasm.js delivery guarantee); mismatches fall through
+        # to the normal jit path.
+        self._artifacts = artifacts or {}
+        # set to a dict to capture jax.export.Exported programs as they
+        # are built (tools/build_artifacts.py)
+        self._export_capture = None
         self._jit_cache = {}
         # id -> (bytes ref, ProvingKey): repeated proves with the same key
         # bytes skip the multi-hundred-MB reparse (strong ref pins the id)
         self._pk_cache = {}
+
+    def _resolve(self, name, args, build):
+        """Artifact-or-jit program resolution: a matching exported program
+        wins; otherwise build (and optionally capture an export of) the
+        jitted program."""
+        exp = self._artifacts.get(name)
+        if exp is not None:
+            from ..artifacts import exported_matches, wrap_exported
+            if exported_matches(exp, args):
+                ck = ("exp", name)
+                if ck not in self._jit_cache:
+                    self._jit_cache[ck] = wrap_exported(exp, self.mesh)
+                return self._jit_cache[ck]
+        if name not in self._jit_cache:
+            self._jit_cache[name] = build()
+        prog = self._jit_cache[name]
+        if self._export_capture is not None \
+                and name not in self._export_capture:
+            from jax import export
+            self._export_capture[name] = export.export(prog)(*args)
+        return prog
 
     def _window_for(self, n: int) -> int:
         """Window width scales with MSM size (bucket-fold cost must amortize
@@ -94,8 +123,10 @@ class Groth16Prover:
         Returns device arrays (no host sync) — read with _point_host()."""
         n = scalars.shape[-1]
         c = self._window_for(n)
-        key = ("msm", curve_key, c, self.mesh is not None)
-        if key not in self._jit_cache:
+        name = f"msm_{curve_key}_c{c}" + ("_mesh" if self.mesh is not None
+                                          else "")
+
+        def build():
             dev = self.G1d if curve_key == "g1" else self.G2d
             # bound gathered/scanned intermediates' HBM at large N
             # (ops/msm.py group_windows knob); G2 leaves are 2x wider, so
@@ -104,18 +135,31 @@ class Groth16Prover:
                             group_windows=8 if curve_key == "g1" else 4)
             if self.mesh is not None:
                 from ..parallel.mesh import msm_sharded_point
-                self._jit_cache[key] = msm_sharded_point(msm, self.mesh)
-            else:
-                self._jit_cache[key] = jax.jit(msm.msm_point)
-        return self._jit_cache[key](scalars, points)
+                return msm_sharded_point(msm, self.mesh)
+            return jax.jit(msm.msm_point)
+
+        return self._resolve(name, (scalars, points), build)(scalars, points)
 
     # -- CALC_H (device) ------------------------------------------------------
 
     def calc_h(self, pk: ProvingKey, signals):
         """signals: [L, nSignals] canonical limb planes.  Returns [L, domain]
         canonical H coefficients (upper half of A*B), on device."""
-        key = ("calc_h", pk.domain_size, signals.shape)
-        if key not in self._jit_cache:
+        # the program bakes in this pkey's QAP polynomials — name it by
+        # their content so distinct same-domain pkeys never share a cache
+        # entry, and so artifact names are stable across processes
+        ph = getattr(pk, "_pols_hash", None)
+        if ph is None:
+            import hashlib
+            hh = hashlib.sha256()
+            for lc in (pk.pols_a, pk.pols_b):
+                for a in (lc.sig_idx, lc.coef_idx, lc.coefs):
+                    hh.update(np.ascontiguousarray(a).tobytes())
+            ph = hh.hexdigest()[:8]
+            object.__setattr__(pk, "_pols_hash", ph)
+        key = f"calc_h_d{pk.domain_size}_{ph}"
+
+        def build():
             Fr, ntt = self.Fr, self.ntt
             lc_a, lc_b = pk.pols_a, pk.pols_b
 
@@ -144,10 +188,11 @@ class Groth16Prover:
                 def sharded(sig):
                     return jax.lax.with_sharding_constraint(run(sig), sh)
 
-                self._jit_cache[key] = jax.jit(sharded)
-            else:
-                self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key](jnp.asarray(signals))
+                return jax.jit(sharded)
+            return jax.jit(run)
+
+        sig = jnp.asarray(signals)
+        return self._resolve(key, (sig,), build)(sig)
 
     # -- proof ----------------------------------------------------------------
 
@@ -173,21 +218,48 @@ class Groth16Prover:
         # point planes live on device across prove() calls (one upload per
         # proving key — the analogue of the reference workers keeping the
         # pkey slices resident in their WASM memories, bn128.js:353-415)
+        # All four G1 sections are zero-padded to one common length at
+        # upload, so every G1 MSM runs the SAME compiled program (zero
+        # points (0,0) and zero scalar digits are absorbed by the complete
+        # group law / empty buckets).  One compile instead of three — on
+        # TPU each MSM compile is a large one-time cost, and the driver's
+        # multichip dryrun pays it per program.
         dev = getattr(pk, "_device_points", None)
         if dev is None:
-            dev = {name: jax.device_put(getattr(pk, name))
-                   for name in ("points_a", "points_b1", "points_b2",
-                                "points_c", "h_exps")}
+            g1_names = ("points_a", "points_b1", "points_c", "h_exps")
+            n_pad = max(np.asarray(jax.tree.leaves(getattr(pk, nm))[0]
+                                   ).shape[-1] for nm in g1_names)
+
+            def pad_pts(tree):
+                return jax.tree.map(
+                    lambda a: np.concatenate(
+                        [np.asarray(a), np.zeros(
+                            a.shape[:-1] + (n_pad - a.shape[-1],), a.dtype)],
+                        axis=-1) if a.shape[-1] < n_pad else a, tree)
+
+            dev = {nm: jax.device_put(pad_pts(getattr(pk, nm)))
+                   for nm in g1_names}
+            dev["points_b2"] = jax.device_put(pk.points_b2)
+            dev["n_pad"] = n_pad
             object.__setattr__(pk, "_device_points", dev)
+        n_pad = dev["n_pad"]
+
+        def pad_sc(s):
+            if s.shape[-1] >= n_pad:
+                return s
+            return jnp.concatenate(
+                [s, jnp.zeros(s.shape[:-1] + (n_pad - s.shape[-1],),
+                              s.dtype)], axis=-1)
 
         # ---- dispatch ALL device work before any host read ----
         sig_dev = jnp.asarray(signals)
         h = self.calc_h(pk, sig_dev)
-        d_a = self._msm("g1", sig_dev, dev["points_a"])
-        d_b1 = self._msm("g1", sig_dev, dev["points_b1"])
+        d_a = self._msm("g1", pad_sc(sig_dev), dev["points_a"])
+        d_b1 = self._msm("g1", pad_sc(sig_dev), dev["points_b1"])
         d_b2 = self._msm("g2", sig_dev, dev["points_b2"])
-        d_c = self._msm("g1", sig_dev[:, pk.n_public + 1:], dev["points_c"])
-        d_h = self._msm("g1", h, dev["h_exps"])
+        d_c = self._msm("g1", pad_sc(sig_dev[:, pk.n_public + 1:]),
+                        dev["points_c"])
+        d_h = self._msm("g1", pad_sc(h), dev["h_exps"])
 
         # ---- single sync point: read back 5 Jacobian points ----
         pi_a = self._g1_host(d_a)
