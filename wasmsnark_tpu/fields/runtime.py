@@ -17,6 +17,7 @@ import numpy as np
 
 from .spec import FieldSpec
 from ..ops.fp import FpDevice
+from ..ops.bigint import int_div, inverse_mod
 
 
 class F1Runtime:
@@ -34,6 +35,12 @@ class F1Runtime:
         self._inv = jax.jit(
             lambda x: self.F.from_mont(self.F.mont_inv(self.F.to_mont(x)))
         )
+        # big-integer tier (int_div / int_inverseMod parity,
+        # src/build_int.js:710-1054): true divmod on arbitrary values and a
+        # binary-extended-GCD inverse that, unlike the Fermat ladder above,
+        # does not require q prime (any odd modulus)
+        self._idiv = jax.jit(int_div)
+        self._invmod = jax.jit(lambda x: inverse_mod(x, self.F.q_limbs_like(x)))
 
     # -- canonical-form batched API -----------------------------------------
 
@@ -54,6 +61,20 @@ class F1Runtime:
 
     def inverse(self, xs):
         return self.F.unpack(self._inv(self.F.pack(xs)))
+
+    # -- big-integer tier ------------------------------------------------------
+
+    def divmod(self, xs, ys):
+        """True integer divmod per lane (int_div, src/build_int.js:710-924);
+        values need not be < q — anything fitting the limb width works."""
+        q, r = self._idiv(self.F.pack(xs), self.F.pack(ys))
+        return self.F.unpack(q), self.F.unpack(r)
+
+    def inverse_gcd(self, xs):
+        """x^-1 mod q by binary extended GCD (int_inverseMod parity,
+        src/build_int.js:926-1054) — valid for any odd q, prime or not;
+        non-units return 0."""
+        return self.F.unpack(self._invmod(self.F.pack(xs)))
 
     # -- benchmark loop (test_F1 parity, src/f1.js:123-132) -------------------
 
