@@ -236,6 +236,33 @@ def bench_pairing(out):
     return out["pairing_ok"]
 
 
+def bench_verify_batch(out):
+    """Steady-state batched Groth16 verification (the verification-server
+    configuration): N proofs per call through the device pairing with the
+    vk's three fixed G2 ladders riding the prepared-coefficient cache
+    (prepareG2 pattern, build_bn128.js:459-575).  Opt-in: BENCH_VERIFY=1;
+    needs the committed reference proof."""
+    ref = "/root/reference/test/data"
+    if not os.path.exists(f"{ref}/proof_good.json"):
+        return True
+    import json as _json
+    from wasmsnark_tpu.groth16.verifier import groth16_verify_batch
+    vk = _json.load(open(f"{ref}/verification_key.json"))
+    pub = _json.load(open(f"{ref}/public.json"))
+    proof = _json.load(open(f"{ref}/proof_good.json"))
+    B = int(os.environ.get("BENCH_VERIFY_BATCH", "16"))
+    t0 = time.time()
+    got = groth16_verify_batch(vk, [pub] * B, [proof] * B)
+    out["verify_batch_compile_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    got = groth16_verify_batch(vk, [pub] * B, [proof] * B)
+    dt = time.time() - t0
+    out[f"verify_batch{B}_seconds"] = round(dt, 3)
+    out["verify_batch_proofs_per_sec"] = round(B / dt, 1)
+    out["verify_batch_ok"] = bool(all(got))
+    return out["verify_batch_ok"]
+
+
 def bench_mnt_verify(out):
     """MNT6753 Bowe-Gabizon verification: host-oracle latency vs the batched
     device path (BASELINE.md MNT row).  Opt-in: BENCH_MNT=1; needs the
@@ -308,6 +335,8 @@ def main():
             ok = bench_prove(out) and ok
         if os.environ.get("BENCH_PAIRING"):
             ok = bench_pairing(out) and ok
+        if os.environ.get("BENCH_VERIFY"):
+            ok = bench_verify_batch(out) and ok
         if os.environ.get("BENCH_MNT"):
             ok = bench_mnt_verify(out) and ok
         out["all_checks_ok"] = bool(ok)

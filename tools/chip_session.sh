@@ -5,9 +5,9 @@ cd /root/repo
 echo "=== [1/4] headline bench (MSM 2^20 + NTT + Fr + prove 2^20) $(date +%H:%M)"
 python -u bench.py > /tmp/bench_full.log 2>&1
 echo "exit $? $(date +%H:%M)"; tail -1 /tmp/bench_full.log
-echo "=== [2/4] pairing + MNT verify bench $(date +%H:%M)"
+echo "=== [2/4] pairing + batched-verify + MNT verify bench $(date +%H:%M)"
 BENCH_SKIP_PROVE=1 BENCH_SKIP_NTT=1 BENCH_SKIP_FR=1 BENCH_MSM_BITS=16 \
-  BENCH_PAIRING=1 BENCH_MNT=1 python -u bench.py > /tmp/bench_pairing.log 2>&1
+  BENCH_PAIRING=1 BENCH_VERIFY=1 BENCH_MNT=1 python -u bench.py > /tmp/bench_pairing.log 2>&1
 echo "exit $? $(date +%H:%M)"; tail -1 /tmp/bench_pairing.log
 echo "=== [3/4] MSM stage profile @2^20 c=16 $(date +%H:%M)"
 python -u tools/profile_msm.py --bits 20 --window 16 > /tmp/profile_msm.log 2>&1

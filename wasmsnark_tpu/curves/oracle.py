@@ -45,9 +45,8 @@ class JacobianCurve:
         B = F.square(Y)
         C = F.square(B)
         t = F.square(F.add(X, B))
-        D = F.add(F.sub(F.sub(t, A), C), F.sub(t, F.add(A, C)))  # 2*((X+B)^2-A-C)
         D = F.sub(F.sub(t, A), C)
-        D = F.add(D, D)
+        D = F.add(D, D)  # 2*((X+B)^2 - A - C)
         E = F.add(F.add(A, A), A)
         G = F.square(E)
         X3 = F.sub(G, F.add(D, D))

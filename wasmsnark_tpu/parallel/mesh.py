@@ -26,7 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.curve import JacobianDevice, map_leaf
 from ..ops.msm import MSMDevice
@@ -101,7 +101,7 @@ def msm_sharded(msm: MSMDevice, mesh: Mesh, axis="points"):
             local, mesh=mesh,
             in_specs=(P(None, axis), pt_specs),
             out_specs=map_leaf(jac_like, lambda a: P(*([None] * a.ndim))),
-            check_rep=False,
+            check_vma=False,
         )(scalars, points)
 
     return jax.jit(build)
@@ -118,4 +118,6 @@ def msm_sharded_point(msm: MSMDevice, mesh: Mesh, axis: str = "points"):
         win = sharded(scalars, points)
         return fold_windows_device(msm.curve, win, msm.c)
 
-    return run
+    # jit the whole pipeline: without this the window fold (W fori_loop
+    # steps of batch-1 group ops) dispatches eagerly op-by-op per call
+    return jax.jit(run)
