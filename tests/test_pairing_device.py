@@ -359,3 +359,41 @@ def test_prepared_miller_loop_matches_direct_bls():
     got = jax.jit(
         lambda g1, g2: pd2.miller_loop_prepared(g1, pd2.prepare_g2(g2)))(g1, g2)
     assert pd2.unpack_f12(got) == pd2.unpack_f12(want)
+
+
+def test_prepared_coefs_match_direct_steps_bls():
+    """Fast tier, BLS12-381: prepared coefficients reproduce the direct
+    _dbl_step/_add_step line values (first two schedule steps)."""
+    from wasmsnark_tpu.ops.pairing import bls12381_pairing_device, _step_flags
+    pd2 = bls12381_pairing_device()
+    m = pd2.m
+    q2 = m.G2.affine(m.G2.times_scalar(m.g2_gen, 5))
+    p1 = m.G1.affine(m.G1.times_scalar(m.g1_gen, 3))
+    g1 = pd2.pack_g1([(p1[0], p1[1])])
+    g2 = pd2.pack_g2([(q2[0], q2[1])])
+    flags = _step_flags(pd2.loop_bits)
+
+    @jax.jit
+    def direct(g1, g2):
+        xP, yP = g1
+        xQ, yQ = g2
+        one = pd2.F2d.one_like(xQ)
+        l1, X, Y, Z = pd2._dbl_step(xQ, yQ, one, xP, yP)
+        if flags[1]:
+            l2, _, _, _ = pd2._add_step(X, Y, Z, xQ, yQ, xP, yP)
+        else:
+            l2, _, _, _ = pd2._dbl_step(X, Y, Z, xP, yP)
+        return l1, l2
+
+    @jax.jit
+    def prepared(g1, g2):
+        coeffs = pd2.prepare_g2(g2)
+        c0 = jax.tree.map(lambda a: a[0], coeffs)
+        c1 = jax.tree.map(lambda a: a[1], coeffs)
+        return (pd2._line_from_coefs(c0, g1[0], g1[1]),
+                pd2._line_from_coefs(c1, g1[0], g1[1]))
+
+    d1, d2 = direct(g1, g2)
+    p1l, p2l = prepared(g1, g2)
+    assert _unpack_tree(pd2, d1) == _unpack_tree(pd2, p1l)
+    assert _unpack_tree(pd2, d2) == _unpack_tree(pd2, p2l)
