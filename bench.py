@@ -313,9 +313,17 @@ def _init_backend():
             raise RuntimeError(f"{note}; cpu fallback: {e2}") from e2
 
 
+def _note(msg):
+    """Progress marker on stderr (stdout is reserved for the one JSON
+    line); timestamps let an operator see which section a long run is in."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     out = {}
     try:
+        _note("backend init")
         devices, backend_error = _init_backend()
         out["device"] = str(devices[0])
         if backend_error is not None:
@@ -326,19 +334,27 @@ def main():
             os.environ.setdefault("BENCH_MSM_BITS", "14")
             os.environ.setdefault("BENCH_NTT_BITS", "14")
             os.environ.setdefault("BENCH_PROVE_BITS", "0")
+        _note(f"device={devices[0]} — MSM section")
         ok = bench_msm(out)
         if not os.environ.get("BENCH_SKIP_NTT"):
+            _note("NTT section")
             bench_ntt(out)
         if not os.environ.get("BENCH_SKIP_FR"):
+            _note("Fr section")
             bench_fr_mul(out)
         if not os.environ.get("BENCH_SKIP_PROVE"):
+            _note("prove section")
             ok = bench_prove(out) and ok
         if os.environ.get("BENCH_PAIRING"):
+            _note("pairing section")
             ok = bench_pairing(out) and ok
         if os.environ.get("BENCH_VERIFY"):
+            _note("batched-verify section")
             ok = bench_verify_batch(out) and ok
         if os.environ.get("BENCH_MNT"):
+            _note("MNT verify section")
             ok = bench_mnt_verify(out) and ok
+        _note("done")
         out["all_checks_ok"] = bool(ok)
         print(json.dumps(out))
         return 0 if ok else 1

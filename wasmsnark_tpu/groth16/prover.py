@@ -142,40 +142,51 @@ class Groth16Prover:
 
     # -- CALC_H (device) ------------------------------------------------------
 
+    def _calc_h_args(self, pk: ProvingKey):
+        """Device-resident runtime inputs for the CALC_H program: the pkey's
+        QAP tables (lc_arrays) + the three NTT plans.  Uploaded once per
+        proving key / domain (like the point planes) so the jitted program
+        carries NO multi-MB constants — at 2^20 the baked-constant form
+        serialized to hundreds of MB, breaking remote-compile transports
+        (HTTP 413) and stalling XLA constant folding."""
+        args = getattr(pk, "_calc_h_dev", None)
+        if args is None:
+            from ..ops.pol import lc_arrays
+            bits = pk.domain_size.bit_length() - 1
+            args = jax.device_put((
+                lc_arrays(pk.pols_a),
+                lc_arrays(pk.pols_b),
+                self.ntt.plan(bits, inverse=True),
+                self.ntt.plan(bits, odd=True),
+                self.ntt.plan(bits + 1, inverse=True),
+            ))
+            object.__setattr__(pk, "_calc_h_dev", args)
+        return args
+
     def calc_h(self, pk: ProvingKey, signals):
         """signals: [L, nSignals] canonical limb planes.  Returns [L, domain]
         canonical H coefficients (upper half of A*B), on device."""
-        # the program bakes in this pkey's QAP polynomials — name it by
-        # their content so distinct same-domain pkeys never share a cache
-        # entry, and so artifact names are stable across processes
-        ph = getattr(pk, "_pols_hash", None)
-        if ph is None:
-            import hashlib
-            hh = hashlib.sha256()
-            for lc in (pk.pols_a, pk.pols_b):
-                for a in (lc.sig_idx, lc.coef_idx, lc.coefs):
-                    hh.update(np.ascontiguousarray(a).tobytes())
-            ph = hh.hexdigest()[:8]
-            object.__setattr__(pk, "_pols_hash", ph)
-        key = f"calc_h_d{pk.domain_size}_{ph}"
+        # the QAP tables are runtime inputs, so the program is generic in
+        # everything but shapes — name it by the shapes
+        key = (f"calc_h_d{pk.domain_size}_s{pk.n_signals}"
+               f"_a{pk.pols_a.sig_idx.shape[0]}_b{pk.pols_b.sig_idx.shape[0]}")
 
         def build():
             Fr, ntt = self.Fr, self.ntt
-            lc_a, lc_b = pk.pols_a, pk.pols_b
 
-            def run(sig):
+            def run(sig, lca, lcb, pinv, podd, pinv2):
                 sig_m = Fr.to_mont(sig)
-                ea = construct_lc(Fr, lc_a, sig_m)
-                eb = construct_lc(Fr, lc_b, sig_m)
-                ca = ntt.ifft(ea)
-                cb = ntt.ifft(eb)
-                oa = ntt.fft(ca, odd=True)
-                ob = ntt.fft(cb, odd=True)
+                ea = construct_lc(Fr, lca, sig_m)
+                eb = construct_lc(Fr, lcb, sig_m)
+                ca = ntt.ifft(ea, plan=pinv)
+                cb = ntt.ifft(eb, plan=pinv)
+                oa = ntt.fft(ca, odd=True, plan=podd)
+                ob = ntt.fft(cb, odd=True, plan=podd)
                 L, n = ea.shape
                 a2 = jnp.stack([ea, oa], axis=-1).reshape(L, 2 * n)
                 b2 = jnp.stack([eb, ob], axis=-1).reshape(L, 2 * n)
                 c2 = Fr.mont_mul(a2, b2)
-                cc = ntt.ifft(c2)
+                cc = ntt.ifft(c2, plan=pinv2)
                 return Fr.from_mont(cc[:, n:])
 
             if self.mesh is not None:
@@ -185,14 +196,16 @@ class Groth16Prover:
                 ax = self.mesh.axis_names[0]
                 sh = NamedSharding(self.mesh, P(None, ax))
 
-                def sharded(sig):
-                    return jax.lax.with_sharding_constraint(run(sig), sh)
+                def sharded(sig, lca, lcb, pinv, podd, pinv2):
+                    return jax.lax.with_sharding_constraint(
+                        run(sig, lca, lcb, pinv, podd, pinv2), sh)
 
                 return jax.jit(sharded)
             return jax.jit(run)
 
         sig = jnp.asarray(signals)
-        return self._resolve(key, (sig,), build)(sig)
+        args = (sig,) + self._calc_h_args(pk)
+        return self._resolve(key, args, build)(*args)
 
     # -- proof ----------------------------------------------------------------
 

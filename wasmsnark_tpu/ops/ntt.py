@@ -80,21 +80,51 @@ class NTTDevice:
         v = self.spec.inv2[bits] * self.field.R % self.field.q
         return serialize_limbs([v], self.field.n_limbs)
 
+    # -- runtime-argument plans -------------------------------------------------
+
+    def plan(self, bits: int, odd: bool = False, inverse: bool = False):
+        """Precomputed tables for one transform as a pytree of HOST arrays.
+
+        Passed to fft/ifft as the `plan=` argument, the tables enter the
+        jitted program as *runtime inputs* instead of baked HLO constants.
+        This is what makes production domains compile: at 2^20 the twiddle
+        stack alone is ~64 MB/transform, and the reference's CALC_H pipeline
+        composes five transforms — constant-baking inflates the serialized
+        program past what any AOT/remote-compile transport accepts (the
+        round-3 HTTP 413) and stalls XLA constant folding.  Callers
+        device_put the plan once and reuse it across calls, the device
+        analogue of the reference instantiating its FFT tables once per
+        WASM memory (build_fft.js:58-117)."""
+        p = {"rev": self._bitrev(bits).astype(np.int32),
+             "tw": tuple(self._twiddles(bits, odd))}
+        if inverse:
+            n = 1 << bits
+            p["mirror"] = np.concatenate(
+                [[0], np.arange(n - 1, 0, -1)]).astype(np.int32)
+            p["invn"] = self._invn(bits)
+        return p
+
     # -- transforms ------------------------------------------------------------
 
-    def fft(self, x, odd: bool = False):
+    def fft(self, x, odd: bool = False, plan=None):
         """In-order DFT of Montgomery-form coefficients x [L, N].
 
         odd=False: X_k = sum_j x_j w_N^{jk}
         odd=True:  X_k = sum_j x_j w_{2N}^{j(2k+1)}  (odd-coset evaluation)
+
+        plan: optional pytree from self.plan(bits, odd) — host arrays bake
+        as constants (small-domain convenience), traced arrays stay runtime
+        inputs (production path).
         """
         L, n = x.shape
         bits = n.bit_length() - 1
         assert 1 << bits == n, "size must be a power of two"
         assert bits <= self.spec.max_bits, "domain exceeds field 2-adicity"
-        rev = jnp.asarray(self._bitrev(bits))
-        x = jnp.take(x, rev, axis=1)
-        tabs = self._twiddles(bits, odd)
+        if plan is None:
+            plan = self.plan(bits, odd)
+        x = jnp.take(x, jnp.asarray(plan["rev"]), axis=1)
+        tabs = plan["tw"]
+        assert len(tabs) == bits, "plan/domain mismatch"
         for s in range(1, bits + 1):
             half = 1 << (s - 1)
             groups = n >> s
@@ -113,14 +143,17 @@ class NTTDevice:
             x = jnp.stack([x0, x1], axis=2).reshape(L, n)
         return x
 
-    def ifft(self, x, odd: bool = False):
-        """Inverse DFT: rawfft + mirror + 1/N (build_fft.js _ifft)."""
+    def ifft(self, x, odd: bool = False, plan=None):
+        """Inverse DFT: rawfft + mirror + 1/N (build_fft.js _ifft).
+
+        plan: optional pytree from self.plan(bits, odd, inverse=True)."""
         L, n = x.shape
-        y = self.fft(x, odd)
+        if plan is None:
+            plan = self.plan(n.bit_length() - 1, odd, inverse=True)
+        y = self.fft(x, odd, plan=plan)
         # finalInverse: out[0] = y[0]/N; out[i] = y[N-i]/N
-        idx = jnp.asarray(np.concatenate([[0], np.arange(n - 1, 0, -1)]).astype(np.int32))
-        y = jnp.take(y, idx, axis=1)
-        return self.F.mont_mul(y, jnp.asarray(self._invn(n.bit_length() - 1)))
+        y = jnp.take(y, jnp.asarray(plan["mirror"]), axis=1)
+        return self.F.mont_mul(y, jnp.asarray(plan["invn"]))
 
     # -- vector helpers (build_fft.js:374-547) ---------------------------------
 

@@ -66,16 +66,38 @@ class SparseLC:
         self._has_prev = (self._start > 0)
 
 
-def construct_lc(F: FpDevice, lc: SparseLC, signals_mont):
+def lc_arrays(lc: SparseLC) -> dict:
+    """The SparseLC tables as a pytree, for passing into a jitted program
+    as runtime inputs.  At production scale the [L, nnz] coefficient plane
+    is ~10^2 MB per matrix — baked as HLO constants (the legacy path) that
+    inflates the serialized program past remote-compile transport limits
+    and stalls XLA constant folding; as arguments it uploads once and the
+    program stays small and shape-generic."""
+    return {
+        "sig_idx": lc.sig_idx.astype(np.int32),
+        "coefs": lc.coefs,
+        "pos_end": lc._pos_end,
+        "pos_start": lc._pos_start,
+        "has_prev": lc._has_prev,
+        "hit": lc._hit,
+    }
+
+
+def construct_lc(F: FpDevice, lc, signals_mont):
     """signals_mont: [L, nSignals] Montgomery.  Returns [L, domain] Montgomery
-    evaluations of sum_i signal_i * P_i on the domain."""
-    sig = jnp.take(signals_mont, jnp.asarray(lc.sig_idx, dtype=jnp.int32), axis=1)
-    prods = F.mont_mul(sig, jnp.asarray(lc.coefs))          # [L, nnz] < 2^16 limbs
+    evaluations of sum_i signal_i * P_i on the domain.
+
+    lc: a SparseLC (tables bake as constants — small-circuit convenience) or
+    an lc_arrays() pytree of possibly-traced arrays (production path)."""
+    arrs = lc if isinstance(lc, dict) else lc_arrays(lc)
+    domain_size = arrs["hit"].shape[-1]
+    sig = jnp.take(signals_mont, jnp.asarray(arrs["sig_idx"]), axis=1)
+    prods = F.mont_mul(sig, jnp.asarray(arrs["coefs"]))     # [L, nnz] < 2^16 limbs
     ps = jnp.cumsum(prods, axis=1, dtype=jnp.uint32)        # wraps mod 2^32
-    at_end = jnp.take(ps, jnp.asarray(lc._pos_end), axis=1)
-    at_prev = jnp.take(ps, jnp.asarray(lc._pos_start), axis=1)
-    prev = jnp.where(jnp.asarray(lc._has_prev)[None, :], at_prev,
+    at_end = jnp.take(ps, jnp.asarray(arrs["pos_end"]), axis=1)
+    at_prev = jnp.take(ps, jnp.asarray(arrs["pos_start"]), axis=1)
+    prev = jnp.where(jnp.asarray(arrs["has_prev"])[None, :], at_prev,
                      jnp.zeros_like(at_prev))
-    acc = jnp.where(jnp.asarray(lc._hit)[None, :], at_end - prev,
-                    jnp.zeros((F.L, lc.domain_size), jnp.uint32))
+    acc = jnp.where(jnp.asarray(arrs["hit"])[None, :], at_end - prev,
+                    jnp.zeros((F.L, domain_size), jnp.uint32))
     return F.reduce_wide_sum(acc)
