@@ -314,14 +314,35 @@ def _init_backend():
 
 
 def _note(msg):
-    """Progress marker on stderr (stdout is reserved for the one JSON
-    line); timestamps let an operator see which section a long run is in."""
+    """Progress marker on stderr (stdout is reserved for the JSON
+    lines); timestamps let an operator see which section a long run is in."""
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
           flush=True)
 
 
+_T0 = time.time()
+
+
+def _snapshot(out, ok):
+    """Print the current results as one complete JSON line after every
+    section, so a driver-side `timeout` kill still leaves the latest
+    parseable line on stdout (round-3 lesson: BENCH_r03 rc=124 recorded
+    parsed:null because the single final print never ran).  Each snapshot
+    supersedes the previous; the final one carries the verdict."""
+    out["all_checks_ok"] = bool(ok)
+    out["elapsed_seconds"] = round(time.time() - _T0, 1)
+    print(json.dumps(out), flush=True)
+
+
+def _deadline_left():
+    """Seconds remaining in the global bench budget (BENCH_DEADLINE_S,
+    default 480 — under the driver's kill timeout)."""
+    return float(os.environ.get("BENCH_DEADLINE_S", "480")) - (time.time() - _T0)
+
+
 def main():
     out = {}
+    ok = True
     try:
         _note("backend init")
         devices, backend_error = _init_backend()
@@ -336,27 +357,36 @@ def main():
             os.environ.setdefault("BENCH_PROVE_BITS", "0")
         _note(f"device={devices[0]} — MSM section")
         ok = bench_msm(out)
-        if not os.environ.get("BENCH_SKIP_NTT"):
-            _note("NTT section")
-            bench_ntt(out)
-        if not os.environ.get("BENCH_SKIP_FR"):
-            _note("Fr section")
-            bench_fr_mul(out)
-        if not os.environ.get("BENCH_SKIP_PROVE"):
-            _note("prove section")
-            ok = bench_prove(out) and ok
-        if os.environ.get("BENCH_PAIRING"):
-            _note("pairing section")
-            ok = bench_pairing(out) and ok
-        if os.environ.get("BENCH_VERIFY"):
-            _note("batched-verify section")
-            ok = bench_verify_batch(out) and ok
-        if os.environ.get("BENCH_MNT"):
-            _note("MNT verify section")
-            ok = bench_mnt_verify(out) and ok
+        _snapshot(out, ok)
+        # Remaining sections run cheapest-first under a global deadline:
+        # each is skipped (with a note) once the budget is spent, so the
+        # headline line above is never lost to a driver timeout.
+        sections = [
+            ("fr", "BENCH_SKIP_FR", 20, bench_fr_mul),
+            ("ntt", "BENCH_SKIP_NTT", 60, bench_ntt),
+            ("prove", "BENCH_SKIP_PROVE", 200, bench_prove),
+        ]
+        for name, skip_env, est_s, fn in sections:
+            if os.environ.get(skip_env):
+                continue
+            if _deadline_left() < est_s:
+                out.setdefault("sections_skipped", []).append(
+                    f"{name}: deadline ({round(_deadline_left())}s left)")
+                continue
+            _note(f"{name} section")
+            r = fn(out)
+            if isinstance(r, bool):
+                ok = r and ok
+            _snapshot(out, ok)
+        for env, label, fn in [("BENCH_PAIRING", "pairing", bench_pairing),
+                               ("BENCH_VERIFY", "batched-verify", bench_verify_batch),
+                               ("BENCH_MNT", "MNT verify", bench_mnt_verify)]:
+            if os.environ.get(env):
+                _note(f"{label} section")
+                ok = fn(out) and ok
+                _snapshot(out, ok)
         _note("done")
-        out["all_checks_ok"] = bool(ok)
-        print(json.dumps(out))
+        _snapshot(out, ok)
         return 0 if ok else 1
     except Exception as e:
         import traceback
