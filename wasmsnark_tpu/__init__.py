@@ -48,4 +48,26 @@ if not _os.environ.get("WASMSNARK_TPU_NO_CACHE"):
     except Exception:  # pragma: no cover - older jax without these flags
         pass
 
+    # Seed the cache from the committed artifact tier (build/xla_cache —
+    # populated by tools/seed_cache.py with the compiled programs of the
+    # driver's default bench shapes).  This is the direct analogue of the
+    # reference loading build/*_wasm.js instead of regenerating code
+    # (src/bn128.js:186, tools/buildwasm_bn128.js:8-29): a fresh machine
+    # starts with the big one-time compiles already done.
+    _seed_dir = _os.path.join(_os.path.dirname(__file__), "..", "build",
+                              "xla_cache")
+    if _os.path.isdir(_seed_dir):
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            for _name in _os.listdir(_seed_dir):
+                _dst = _os.path.join(_cache_dir, _name)
+                if not _os.path.exists(_dst):
+                    try:  # hardlink (instant); fall back to copy
+                        _os.link(_os.path.join(_seed_dir, _name), _dst)
+                    except OSError:
+                        import shutil as _shutil
+                        _shutil.copy2(_os.path.join(_seed_dir, _name), _dst)
+        except OSError:  # pragma: no cover - read-only checkout etc.
+            pass
+
 from .api import build_bn128, build_f1, build_mnt6753, build_bls12381  # noqa: F401
