@@ -30,13 +30,11 @@ import numpy as np
 
 
 def _time_reps(fn, reps=3):
-    import jax
-    fn()  # warm (compile)
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+    """Per-call device time.  NOTE: the axon tunnel's block_until_ready
+    returns at dispatch, not completion — chiptime forces a real host-read
+    sync and subtracts the tunnel latency (utils/chiptime.py)."""
+    from wasmsnark_tpu.utils.chiptime import time_reps
+    return time_reps(fn, reps=reps)
 
 
 def _module():
@@ -76,16 +74,18 @@ def bench_msm(out):
     rng = random.Random(0)
     ks = [rng.randrange(1, R) for _ in range(n)]
     scal_ints = [rng.randrange(R) for _ in range(n)]
+    from wasmsnark_tpu.utils.chiptime import sync
     t0 = time.time()
     fb = FixedBase(G1d, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
-    points = jax.block_until_ready(
-        jax.jit(fb.points_affine)(jnp.asarray(ints_to_limbs_fast(ks, 16))))
+    points = jax.jit(fb.points_affine)(jnp.asarray(ints_to_limbs_fast(ks, 16)))
+    sync(points)
     gen_time = time.time() - t0
     scalars = jnp.asarray(ints_to_limbs_fast(scal_ints, 16))
 
     run = jax.jit(msm.msm_point)
     t0 = time.time()
-    res = jax.block_until_ready(run(scalars, points))
+    res = run(scalars, points)
+    sync(res)
     compile_time = time.time() - t0
 
     dt = _time_reps(lambda: run(scalars, points))
@@ -126,9 +126,10 @@ def bench_ntt(out):
     x = jnp.asarray(
         rng.integers(0, 1 << 16, size=(m.fr_spec.n_limbs, 1 << bits),
                      dtype=np.uint32))
+    from wasmsnark_tpu.utils.chiptime import sync
     fwd = jax.jit(ntt.fft)
     t0 = time.time()
-    jax.block_until_ready(fwd(x))
+    sync(fwd(x))
     compile_t = time.time() - t0
     dt = _time_reps(lambda: fwd(x))
     out.update({
@@ -216,8 +217,10 @@ def bench_pairing(out):
     run = jax.jit(one)
     g1 = pd.pack_g1([(p1[0], p1[1])])
     g2 = pd.pack_g2([(q1[0], q1[1])])
+    from wasmsnark_tpu.utils.chiptime import sync
     t0 = time.time()
-    e = jax.block_until_ready(run(g1, g2))
+    e = run(g1, g2)
+    sync(e)
     out["pairing_compile_seconds"] = round(time.time() - t0, 1)
     dt = _time_reps(lambda: run(g1, g2))
     out["pairing_single_ms"] = round(dt * 1e3, 1)
@@ -230,7 +233,7 @@ def bench_pairing(out):
     B = 64
     g1b = pd.pack_g1([(p1[0], p1[1])] * B)
     g2b = pd.pack_g2([(q1[0], q1[1])] * B)
-    jax.block_until_ready(run(g1b, g2b))
+    sync(run(g1b, g2b))
     dt = _time_reps(lambda: run(g1b, g2b))
     out["pairing_batch64_per_sec"] = round(B / dt, 1)
     return out["pairing_ok"]

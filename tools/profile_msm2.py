@@ -48,10 +48,13 @@ def main():
     rng = random.Random(0)
     ks = [rng.randrange(1, R) for _ in range(n)]
     fb = FixedBase(C, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
-    points = jax.block_until_ready(
-        jax.jit(fb.points_affine)(jnp.asarray(ints_to_limbs_fast(ks, 16))))
+    from wasmsnark_tpu.utils.chiptime import sync, time_reps, read_latency
+    points = jax.jit(fb.points_affine)(
+        jnp.asarray(ints_to_limbs_fast(ks, 16)))
+    sync(points)
     scalars = jnp.asarray(ints_to_limbs_fast(
         [rng.randrange(R) for _ in range(n)], 16))
+    print(f"tunnel read latency: {read_latency()*1e3:.0f} ms")
 
     mag_all, neg_all = jax.jit(msm.signed_digits)(scalars)
     G = min(args.groups, mag_all.shape[0])
@@ -64,27 +67,36 @@ def main():
 
     def timeit(fn, *a, reps=3):
         g = jax.jit(fn)
-        out = jax.block_until_ready(g(*a))
-        t0 = time.time()
-        for _ in range(reps):
-            out = jax.block_until_ready(g(*a))
-        return (time.time() - t0) / reps, out
+        out = g(*a)
+        sync(out)  # compile + complete (axon block_until_ready is a no-op)
+        return time_reps(g, *a, reps=reps, warm=False), out
 
-    # ---- stage 1 decomposed ----
-    t_sort, order = timeit(
-        lambda mg: jnp.argsort(mg, axis=-1, stable=False), mag)
-    t_dsgn, (d, sgn) = timeit(
-        lambda mg, ng, o: (jnp.take_along_axis(mg, o, axis=-1),
-                           jnp.take_along_axis(ng, o, axis=-1)),
-        mag, neg, order)
+    # ---- stage 1: one sort (key packs magnitude+sign, payload lane) ----
+    from wasmsnark_tpu.ops.msm import _gather_rows, _gather_rows_per_window
+
+    def sort_stage(mg, ng):
+        key = (mg << 1) | ng.astype(jnp.uint32)
+        lane = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None, :], (G, N))
+        skey, order = jax.lax.sort((key, lane), num_keys=1, is_stable=False)
+        return skey >> 1, (skey & 1).astype(bool), order
+
+    t_sort, (d, sgn, order) = timeit(sort_stage, mag, neg)
+
+    # ---- stage 2: row-major point gather + neg select ----
+    t_trans, rows = timeit(
+        lambda pts: (map_leaf(pts[0], lambda a: jnp.moveaxis(a, -1, 0)),
+                     map_leaf(pts[1], lambda a: jnp.moveaxis(a, -1, 0))),
+        points)
     t_pgather, p_raw = timeit(
-        lambda pts, o: map_leaf(pts, lambda a: jnp.take(a, o, axis=-1)),
-        points, order)
+        lambda rw, o: (map_leaf(rw[0], lambda r: _gather_rows(r, o)),
+                       map_leaf(rw[1], lambda r: _gather_rows(r, o))),
+        rows, order)
     t_neg, p = timeit(
         lambda pr, sg: (pr[0], F.select(sg, F.neg(pr[1]), pr[1])),
         p_raw, sgn)
 
-    # ---- stage 2: mixed segmented scan ----
+    # ---- stage 3: mixed segmented scan ----
     def scan_stage(d, p):
         prev = jnp.concatenate(
             [jnp.full((G, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
@@ -93,44 +105,47 @@ def main():
 
     t_scan, (local, incoming, K) = timeit(scan_stage, d, p)
 
-    # ---- stage 3: searchsorted + run-end gather (mirrors msm.py) ----
-    def bucket_stage(d, local, incoming):
-        bvals = jnp.arange(B, dtype=jnp.uint32)
-        bq = jnp.broadcast_to(bvals[None, :], (G, B))
-        start = jax.vmap(
-            lambda ds, v: jnp.searchsorted(ds, v, side="left"))(
-            d, bq).astype(jnp.int32)
-        ends = jax.vmap(
-            lambda ds, v: jnp.searchsorted(ds, v, side="right"))(
-            d, bq).astype(jnp.int32)
+    # ---- stage 4: MXU one-hot histogram -> run ends ----
+    def hist_stage(mg):
+        hi = (mg >> 7).astype(jnp.int32)
+        lo = (mg & 127).astype(jnp.int32)
+        n_hi = (B - 2 >> 7) + 1
+        hist = jnp.zeros((G, n_hi, 128), jnp.int32)
+        step = min(N, 1 << 17)
+        for s in range(0, N, step):
+            oh_hi = (hi[:, None, s:s + step]
+                     == jnp.arange(n_hi, dtype=jnp.int32)[None, :, None]
+                     ).astype(jnp.int8)
+            oh_lo = (lo[:, s:s + step, None]
+                     == jnp.arange(128, dtype=jnp.int32)[None, None, :]
+                     ).astype(jnp.int8)
+            hist = hist + jax.lax.dot_general(
+                oh_hi, oh_lo, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+        ends = jnp.cumsum(hist.reshape(G, n_hi * 128), axis=-1)[:, :B - 1]
+        return jnp.concatenate(
+            [ends, jnp.full((G, 1), N, jnp.int32)], axis=-1)
+
+    t_hist, ends = timeit(hist_stage, mag)
+
+    # ---- stage 5: run-end extraction (row gathers) + bucket select ----
+    def extract_stage(ends, local, incoming):
+        start = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.int32), ends[:, :-1]], axis=-1)
         pos = jnp.maximum(ends - 1, 0)
         hit = ends > start
         c_idx = pos // K
         crosses = hit & (start < c_idx * K)
-
-        def take_at(idx):
-            return lambda a: jnp.take_along_axis(
-                a, jnp.broadcast_to(idx, a.shape[:-1] + (B,)), axis=-1)
-
-        g = map_leaf(local, take_at(pos))
-        inc = map_leaf(incoming, take_at(c_idx))
+        g = map_leaf(local, lambda a: _gather_rows_per_window(a, pos))
+        inc = map_leaf(incoming, lambda a: _gather_rows_per_window(a, c_idx))
         fixed = C.add(g, inc)
         sel = C.select(crosses, fixed, g)
         return map_leaf(
             sel, lambda a: jnp.where(hit, a, jnp.zeros_like(a)))
 
-    t_buckets, buckets = timeit(bucket_stage, d, local, incoming)
+    t_buckets, buckets = timeit(extract_stage, ends, local, incoming)
 
-    # sub-split: searchsorted alone
-    def ss_only(d):
-        bvals = jnp.arange(B, dtype=jnp.uint32)
-        bq = jnp.broadcast_to(bvals[None, :], (G, B))
-        s = jax.vmap(lambda ds, v: jnp.searchsorted(ds, v, side="left"))(d, bq)
-        e = jax.vmap(lambda ds, v: jnp.searchsorted(ds, v, side="right"))(d, bq)
-        return s, e
-    t_ss, _ = timeit(ss_only, d)
-
-    # ---- stage 4: triangle fold ----
+    # ---- stage 6: triangle fold ----
     def fold_stage(buckets):
         rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])
         pref = prefix_scan(C, rev)
@@ -147,10 +162,11 @@ def main():
     t_full, _ = timeit(msm.msm_point, scalars, points)
 
     n_groups = -(-W_total // G)
-    stages = [("argsort", t_sort), ("digit+sign gather", t_dsgn),
-              ("point gather", t_pgather), ("neg select", t_neg),
-              ("mixed-scan", t_scan), ("bucket stage", t_buckets),
-              ("  (searchsorted only)", t_ss), ("triangle-fold", t_tri)]
+    stages = [("sort(key,lane)", t_sort),
+              ("  row transpose (1x/msm)", t_trans),
+              ("point row-gather", t_pgather), ("neg select", t_neg),
+              ("mixed-scan", t_scan), ("MXU histogram", t_hist),
+              ("run-end extract", t_buckets), ("triangle-fold", t_tri)]
     total = sum(t for nm, t in stages if not nm.startswith("  "))
     for nm, t in stages:
         print(f"{nm:22s} {t*1e3:9.1f} ms")

@@ -55,6 +55,35 @@ from .scan import seg_scan_parts_mixed, prefix_scan, reduce_last
 from ..fields.spec import LIMB_BITS
 
 
+def _gather_rows(rows, order):
+    """Row gather: rows [N, *lead] (lane index MAJOR — each gathered row is
+    the contiguous limb data of one point coordinate), order [G, N] ->
+    [*lead, G, N].  TPU gathers cost ~5-7 ns per row almost independently
+    of row size up to ~64 B, while minor-axis (lane) gathers scalarize —
+    this layout is the difference between 248 ms and ~60 ms for the MSM's
+    2^20-point window-group gather (tools/gather_micro.py)."""
+    G, N = order.shape
+    lead = rows.shape[1:]
+    g = jnp.take(rows, order.reshape(-1), axis=0).reshape((G, N) + lead)
+    k = len(lead)
+    return jnp.transpose(g, tuple(range(2, 2 + k)) + (0, 1))
+
+
+def _gather_rows_per_window(a, idx):
+    """Per-window row gather: a [*lead, G, S], idx [G, B] -> [*lead, G, B]
+    (row-major transpose + one flat row gather; the transposes are ~1 ms/GB
+    on TPU, the minor-axis take_along_axis they replace was ~50x slower)."""
+    k = a.ndim - 2
+    G, S = a.shape[-2:]
+    B = idx.shape[-1]
+    rows = jnp.transpose(a, (k, k + 1) + tuple(range(k)))   # [G, S, *lead]
+    rows = rows.reshape((G * S,) + rows.shape[2:])
+    flat = (jnp.arange(G, dtype=jnp.int32)[:, None] * S
+            + idx.astype(jnp.int32)).reshape(-1)
+    g = jnp.take(rows, flat, axis=0).reshape((G, B) + rows.shape[1:])
+    return jnp.transpose(g, tuple(range(2, 2 + k)) + (0, 1))
+
+
 def window_digits(scalar_limbs, c: int):
     """[n_limbs, *B] 16-bit limbs -> [n_windows, *B] c-bit digits, LSB
     window first; windows may straddle limb boundaries."""
@@ -160,56 +189,84 @@ class MSMDevice:
 
     # -- one window group -----------------------------------------------------
 
-    def _window_group(self, mag, neg, points):
-        """mag/neg: [G, N] digit magnitudes/signs.  points: affine (X, Y)
-        pytree, leaves [.., N].  Returns per-window sums, leaves [.., G],
-        Jacobian."""
+    def _window_group(self, mag, neg, point_rows):
+        """mag/neg: [G, N] digit magnitudes/signs.  point_rows: affine
+        (X, Y) pytree with every leaf pre-transposed to row-major [N, P]
+        (P = the flattened limb dims; see _rows) — on TPU a gather of
+        contiguous rows runs ~50x faster than a gather along the minor
+        (lane) axis, and the [L, N] <-> [N, L] transposes are ~1 ms/GB
+        (tools/gather_micro.py, honest-sync numbers).  Returns per-window
+        sums, leaves [.., G], Jacobian."""
         C = self.curve
         F = C.F
         G, N = mag.shape
         B = (1 << (self.c - 1)) + 1           # buckets 0..2^(c-1)
 
-        # ---- 1. sort each window's magnitudes; gather points per window ----
-        # group-by-digit only needs *a* grouping, not a stable one — the
-        # unstable sort skips the index tiebreak pass
-        order = jnp.argsort(mag, axis=-1, stable=False)       # [G, N]
-        d = jnp.take_along_axis(mag, order, axis=-1)          # [G, N]
-        sgn = jnp.take_along_axis(neg, order, axis=-1)        # [G, N]
-        p = map_leaf(points, lambda a: jnp.take(a, order, axis=-1))  # [.., G, N]
-        # negative digit -> add -P = (X, -Y)
-        p = (p[0], F.select(sgn, F.neg(p[1]), p[1]))
+        # ---- 1. ONE sort per window: key packs (magnitude, sign) with the
+        # lane index as payload — the sorted keys hand back the grouped
+        # digits and signs directly (the old argsort + two take_along_axis
+        # re-gathers cost 14x the sort itself).  Grouping only needs runs of
+        # equal MAGNITUDE; the sign riding the low bit just orders -P before
+        # +P inside a run, which the bucket sum is invariant to.
+        key = (mag << 1) | neg.astype(jnp.uint32)             # 17 bits
+        lane = jnp.broadcast_to(
+            jnp.arange(N, dtype=jnp.int32)[None, :], (G, N))
+        skey, order = jax.lax.sort((key, lane), num_keys=1, is_stable=False)
+        d = skey >> 1                                         # [G, N] sorted
+        sgn = (skey & 1).astype(bool)
 
-        # ---- 2. chunk-local mixed segmented scan over the point axis ----
+        # ---- 2. row-major point gather + sign select ----
+        px = map_leaf(point_rows[0],
+                      lambda r: _gather_rows(r, order))       # [.., G, N]
+        py = map_leaf(point_rows[1],
+                      lambda r: _gather_rows(r, order))
+        # negative digit -> add -P = (X, -Y)
+        p = (px, F.select(sgn, F.neg(py), py))
+
+        # ---- 3. chunk-local mixed segmented scan over the point axis ----
         prev = jnp.concatenate(
             [jnp.full((G, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
         flags = d != prev                                     # [G, N]
         local, incoming, K = seg_scan_parts_mixed(C, flags, p)
 
-        # ---- 3. dense bucket array by binary search (gather, no scatter) ----
-        # Each bucket's total is the run-end entry of its digit in the sorted
-        # order.  The run boundaries come from two vectorized binary searches
-        # over the sorted digits (TPU scatter is serialized; searchsorted is
-        # log-depth gathers); a run crossing its chunk boundary combines the
-        # chunk's incoming prefix (one add per bucket).
-        bvals = jnp.arange(B, dtype=jnp.uint32)
-        bq = jnp.broadcast_to(bvals[None, :], (G, B))
-        start = jax.vmap(
-            lambda ds, v: jnp.searchsorted(ds, v, side="left"))(
-            d, bq).astype(jnp.int32)                          # [G, B]
-        ends = jax.vmap(
-            lambda ds, v: jnp.searchsorted(ds, v, side="right"))(
-            d, bq).astype(jnp.int32)                          # [G, B]
+        # ---- 4. dense bucket array: run ends via MXU histogram ----
+        # Each bucket's total is the run-end entry of its digit in the
+        # sorted order, at position ends[b]-1 where ends[b] = #{i: d_i <= b}
+        # is the cumulative histogram.  The histogram is computed scatter-
+        # free as a 2-level one-hot int8 matmul (hist2d[hi, lo] =
+        # onehot_hi^T @ onehot_lo, exact integer counts on the MXU) +
+        # integer cumsum — ~3 ms where two vectorized binary searches over
+        # the sorted digits cost ~180 ms (log-depth minor-axis gathers).
+        # The top bucket b = 2^(c-1) (hi index 256) needs no column:
+        # ends[B-1] = N identically.
+        hi = (mag >> 7).astype(jnp.int32)                     # [G, N] 0..256
+        lo = (mag & 127).astype(jnp.int32)
+        n_hi = (B - 2 >> 7) + 1                               # 256 for c=16
+        hist = jnp.zeros((G, n_hi, 128), jnp.int32)
+        step = min(N, 1 << 17)  # bound one-hot materialization if unfused
+        for s in range(0, N, step):
+            oh_hi = (hi[:, None, s:s + step]
+                     == jnp.arange(n_hi, dtype=jnp.int32)[None, :, None]
+                     ).astype(jnp.int8)                       # [G, n_hi, n]
+            oh_lo = (lo[:, s:s + step, None]
+                     == jnp.arange(128, dtype=jnp.int32)[None, None, :]
+                     ).astype(jnp.int8)                       # [G, n, 128]
+            hist = hist + jax.lax.dot_general(
+                oh_hi, oh_lo, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+        ends = jnp.cumsum(hist.reshape(G, n_hi * 128), axis=-1)[:, :B - 1]
+        ends = jnp.concatenate(
+            [ends, jnp.full((G, 1), N, jnp.int32)], axis=-1)  # [G, B]
+        start = jnp.concatenate(
+            [jnp.zeros((G, 1), jnp.int32), ends[:, :-1]], axis=-1)
         pos = jnp.maximum(ends - 1, 0)
         hit = ends > start
         c_idx = pos // K
         crosses = hit & (start < c_idx * K)
 
-        def take_at(idx):
-            return lambda a: jnp.take_along_axis(
-                a, jnp.broadcast_to(idx, a.shape[:-1] + (B,)), axis=-1)
-
-        g = map_leaf(local, take_at(pos))
-        inc = map_leaf(incoming, take_at(c_idx))
+        # run-end extraction as row gathers (transpose in, gather rows out)
+        g = map_leaf(local, lambda a: _gather_rows_per_window(a, pos))
+        inc = map_leaf(incoming, lambda a: _gather_rows_per_window(a, c_idx))
         fixed = C.add(g, inc)
         sel = C.select(crosses, fixed, g)
         # zeroing X/Y/Z of empty buckets yields Z = 0 -> the complete add
@@ -217,7 +274,7 @@ class MSMDevice:
         buckets = map_leaf(
             sel, lambda a: jnp.where(hit, a, jnp.zeros_like(a)))  # [.., G, B]
 
-        # ---- 4. triangle fold: sum_{b>=1} b*S_b = sum suffix sums ----
+        # ---- 5. triangle fold: sum_{b>=1} b*S_b = sum suffix sums ----
         rev = map_leaf(buckets, lambda a: a[..., 1:][..., ::-1])
         pref = prefix_scan(C, rev)                            # suffix sums
         win = reduce_last(C, pref)                            # [.., G, 1]
@@ -234,9 +291,13 @@ class MSMDevice:
         assert len(points) == 2, "MSM consumes affine (X, Y) points"
         mag, neg = self.signed_digits(scalar_limbs)
         W, N = mag.shape
+        # one row-major transpose of the point data, shared by every window
+        # group (each leaf [*lead, N] -> [N, *lead]; ~1 ms/GB on TPU)
+        rows = (map_leaf(points[0], lambda a: jnp.moveaxis(a, -1, 0)),
+                map_leaf(points[1], lambda a: jnp.moveaxis(a, -1, 0)))
         gw = self.gw or W
         if gw >= W:
-            return self._window_group(mag, neg, points)
+            return self._window_group(mag, neg, rows)
         # run the groups under lax.scan: ONE traced copy of the window-group
         # graph regardless of group count (a Python loop would replicate the
         # sort+scan+fold graph per group — minutes of extra XLA compile),
@@ -252,7 +313,7 @@ class MSMDevice:
 
         def body(_, mn):
             m, n = mn
-            return None, self._window_group(m, n, points)
+            return None, self._window_group(m, n, rows)
 
         _, wins = jax.lax.scan(
             body, None,
