@@ -70,14 +70,25 @@ def bench_msm(out):
     G1d = JacobianDevice(FpAdapter(Fp))
     msm = MSMDevice(G1d, window_bits=wbits, group_windows=8)
 
-    # --- inputs: distinct points k_i * G via the fixed-base engine ---
+    # --- inputs: k_i * G via the fixed-base engine.  Distinct points are
+    # generated for a 2^BENCH_DISTINCT_BITS base set and tiled up to n:
+    # MSM cost is independent of point VALUES (the gather/sort/bucket work
+    # depends only on the random scalars), while generating n fully distinct
+    # points costs ~10 minutes of fixed-base work at 2^20 — which blew the
+    # driver's bench budget (BENCH_r03 rc=124).  Verification stays exact:
+    # expected = (sum_i s_i * k_{i mod D}) * G.
     rng = random.Random(0)
-    ks = [rng.randrange(1, R) for _ in range(n)]
+    dbits = min(bits, int(os.environ.get("BENCH_DISTINCT_BITS", "12")))
+    nd = 1 << dbits
+    ks = [rng.randrange(1, R) for _ in range(nd)]
     scal_ints = [rng.randrange(R) for _ in range(n)]
     from wasmsnark_tpu.utils.chiptime import sync
     t0 = time.time()
     fb = FixedBase(G1d, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
-    points = jax.jit(fb.points_affine)(jnp.asarray(ints_to_limbs_fast(ks, 16)))
+    base_pts = jax.jit(fb.points_affine)(
+        jnp.asarray(ints_to_limbs_fast(ks, 16)))
+    reps = n // nd
+    points = jax.tree.map(lambda a: jnp.tile(a, (1, reps)), base_pts)
     sync(points)
     gen_time = time.time() - t0
     scalars = jnp.asarray(ints_to_limbs_fast(scal_ints, 16))
@@ -90,9 +101,9 @@ def bench_msm(out):
 
     dt = _time_reps(lambda: run(scalars, points))
 
-    # --- correctness: sum s_i * (k_i G) == (sum s_i k_i) G ---
+    # --- correctness: sum s_i * (k_{i mod D} G) == (sum s_i k_{i mod D}) G ---
     got = tuple(Fp.unpack_mont(np.asarray(c)[:, None])[0] for c in res)
-    expected_k = sum(s * k for s, k in zip(scal_ints, ks)) % R
+    expected_k = sum(s * ks[i % nd] for i, s in enumerate(scal_ints)) % R
     expected = m.G1.times_scalar(m.g1_gen, expected_k)
     ok = bool(m.G1.eq(expected, got)) if not m.G1.is_zero(expected) \
         else bool(m.G1.is_zero(got))
@@ -107,6 +118,7 @@ def bench_msm(out):
         "window_bits": wbits,
         "msm_compile_seconds": round(compile_time, 1),
         "point_gen_seconds": round(gen_time, 1),
+        "distinct_points_log2": dbits,
     })
     return ok
 

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--bits", type=int, default=20)
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--sweep", default="",
+                    help="comma list of group_windows values: time the full "
+                         "msm_point for each (reuses the generated points)")
     args = ap.parse_args()
 
     import jax
@@ -83,14 +86,11 @@ def main():
 
     t_sort, (d, sgn, order) = timeit(sort_stage, mag, neg)
 
-    # ---- stage 2: row-major point gather + neg select ----
-    t_trans, rows = timeit(
-        lambda pts: (map_leaf(pts[0], lambda a: jnp.moveaxis(a, -1, 0)),
-                     map_leaf(pts[1], lambda a: jnp.moveaxis(a, -1, 0))),
-        points)
+    # ---- stage 2: packed row-major point gather + neg select ----
+    from wasmsnark_tpu.ops.msm import _pack_rows, _unpack_gathered
+    t_trans, (rows, meta) = timeit(lambda pts: _pack_rows(pts), points)
     t_pgather, p_raw = timeit(
-        lambda rw, o: (map_leaf(rw[0], lambda r: _gather_rows(r, o)),
-                       map_leaf(rw[1], lambda r: _gather_rows(r, o))),
+        lambda rw, o: _unpack_gathered(_gather_rows(rw, o), meta),
         rows, order)
     t_neg, p = timeit(
         lambda pr, sg: (pr[0], F.select(sg, F.neg(pr[1]), pr[1])),
@@ -136,8 +136,8 @@ def main():
         hit = ends > start
         c_idx = pos // K
         crosses = hit & (start < c_idx * K)
-        g = map_leaf(local, lambda a: _gather_rows_per_window(a, pos))
-        inc = map_leaf(incoming, lambda a: _gather_rows_per_window(a, c_idx))
+        g = _gather_rows_per_window(local, pos)
+        inc = _gather_rows_per_window(incoming, c_idx)
         fixed = C.add(g, inc)
         sel = C.select(crosses, fixed, g)
         return map_leaf(
@@ -177,6 +177,13 @@ def main():
     print(f"{'window fold':22s} {t_fold*1e3:9.1f} ms")
     print(f"{'msm_point full':22s} {t_full*1e3:9.1f} ms "
           f"-> {n/t_full:,.0f} points/s")
+
+    # ---- group-size sweep (reuses points; full msm_point per gw) ----
+    for gw in [int(x) for x in args.sweep.split(",") if x]:
+        msm_g = MSMDevice(C, window_bits=args.window, group_windows=gw)
+        t_g, _ = timeit(msm_g.msm_point, scalars, points)
+        print(f"gw={gw:<3d} msm_point        {t_g*1e3:9.1f} ms "
+              f"-> {n/t_g:,.0f} points/s")
 
 
 if __name__ == "__main__":

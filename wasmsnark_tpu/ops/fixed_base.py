@@ -106,13 +106,22 @@ class FixedBase:
         points, leaves [L, N] (Montgomery)."""
         C = self.curve
         d = self._digits(jnp.asarray(scalar_limbs, jnp.uint32))  # [W, N]
+        W = self.W
+        D = 1 << self.c
+        flat_idx = (jnp.arange(W, dtype=jnp.int32)[:, None] * D
+                    + d.astype(jnp.int32)).reshape(-1)           # [W*N]
 
         def gather(tab):
-            # tab leaf [L, W, D], d [W, N] -> [W, L, N] (scan axis leading)
-            return map_leaf(tab, lambda a: jnp.moveaxis(
-                jnp.take_along_axis(
-                    a, jnp.broadcast_to(d[None], a.shape[:1] + d.shape),
-                    axis=-1), 1, 0))
+            # tab leaf [L, W, D] -> rows [W*D, L]; one flat row gather ->
+            # [W, N, L] -> [W, L, N] (scan axis leading).  Row-major gathers
+            # are ~50x faster than minor-axis lane gathers on TPU
+            # (tools/gather_micro.py; same layout trick as ops/msm.py).
+            def g(a):
+                L = a.shape[0]
+                rows = a.reshape(L, W * D).T                     # [W*D, L]
+                out = jnp.take(rows, flat_idx, axis=0)           # [W*N, L]
+                return jnp.moveaxis(out.reshape(W, d.shape[1], L), -1, 1)
+            return map_leaf(tab, g)
 
         gx, gy = gather(self.tx), gather(self.ty)
 

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .curve import map_leaf
 from .scan import seg_scan_parts_mixed, prefix_scan, reduce_last
@@ -69,19 +70,53 @@ def _gather_rows(rows, order):
     return jnp.transpose(g, tuple(range(2, 2 + k)) + (0, 1))
 
 
-def _gather_rows_per_window(a, idx):
-    """Per-window row gather: a [*lead, G, S], idx [G, B] -> [*lead, G, B]
-    (row-major transpose + one flat row gather; the transposes are ~1 ms/GB
-    on TPU, the minor-axis take_along_axis they replace was ~50x slower)."""
-    k = a.ndim - 2
-    G, S = a.shape[-2:]
+def _pack_rows(tree):
+    """Pytree with leaves [L_i, N] -> (rows [N, sum L_i], treedef, sizes).
+    One packed row matrix means ONE row gather for every coordinate of
+    every tower component (per-row cost is near-constant in row width up to
+    ~64-128 B, so packing amortizes the per-gather fixed cost)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    rows = jnp.concatenate([jnp.moveaxis(a, -1, 0).reshape(a.shape[-1], -1)
+                            for a in leaves], axis=-1)
+    sizes = [int(np.prod(a.shape[:-1])) for a in leaves]
+    shapes = [a.shape[:-1] for a in leaves]
+    return rows, (treedef, sizes, shapes)
+
+
+def _unpack_gathered(g, meta):
+    """g [sum L_i, G, N] (output of _gather_rows on packed rows) -> pytree
+    with leaves [*lead_i, G, N]."""
+    treedef, sizes, shapes = meta
+    out, off = [], 0
+    for sz, shp in zip(sizes, shapes):
+        out.append(g[off:off + sz].reshape(shp + g.shape[1:]))
+        off += sz
+    return jax.tree.unflatten(treedef, out)
+
+
+def _gather_rows_per_window(tree, idx):
+    """Per-window row gather of a whole pytree: leaves [*lead_i, G, S],
+    idx [G, B] -> leaves [*lead_i, G, B].  All leaves are packed into one
+    [G*S, sum L_i] row matrix so the extraction is ONE flat row gather
+    (row-major transposes are ~1 ms/GB; the minor-axis take_along_axis
+    this replaces was ~50x slower)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    G, S = leaves[0].shape[-2:]
     B = idx.shape[-1]
-    rows = jnp.transpose(a, (k, k + 1) + tuple(range(k)))   # [G, S, *lead]
-    rows = rows.reshape((G * S,) + rows.shape[2:])
+    sizes = [int(np.prod(a.shape[:-2])) for a in leaves]
+    shapes = [a.shape[:-2] for a in leaves]
+    rows = jnp.concatenate(
+        [jnp.moveaxis(a.reshape(-1, G, S), 0, -1) for a in leaves],
+        axis=-1).reshape(G * S, -1)                          # [G*S, totL]
     flat = (jnp.arange(G, dtype=jnp.int32)[:, None] * S
             + idx.astype(jnp.int32)).reshape(-1)
-    g = jnp.take(rows, flat, axis=0).reshape((G, B) + rows.shape[1:])
-    return jnp.transpose(g, tuple(range(2, 2 + k)) + (0, 1))
+    g = jnp.take(rows, flat, axis=0).reshape(G, B, -1)
+    g = jnp.moveaxis(g, -1, 0)                               # [totL, G, B]
+    out, off = [], 0
+    for sz, shp in zip(sizes, shapes):
+        out.append(g[off:off + sz].reshape(shp + (G, B)))
+        off += sz
+    return jax.tree.unflatten(treedef, out)
 
 
 def window_digits(scalar_limbs, c: int):
@@ -190,11 +225,12 @@ class MSMDevice:
     # -- one window group -----------------------------------------------------
 
     def _window_group(self, mag, neg, point_rows):
-        """mag/neg: [G, N] digit magnitudes/signs.  point_rows: affine
-        (X, Y) pytree with every leaf pre-transposed to row-major [N, P]
-        (P = the flattened limb dims; see _rows) — on TPU a gather of
-        contiguous rows runs ~50x faster than a gather along the minor
-        (lane) axis, and the [L, N] <-> [N, L] transposes are ~1 ms/GB
+        """mag/neg: [G, N] digit magnitudes/signs.  point_rows:
+        (packed_rows [N, sum L], meta) from _pack_rows over the affine
+        (X, Y) pytree — on TPU a gather of contiguous rows runs ~50x
+        faster than a gather along the minor (lane) axis, and packing
+        every coordinate into one row matrix amortizes the near-constant
+        per-row gather cost across X|Y (and tower components)
         (tools/gather_micro.py, honest-sync numbers).  Returns per-window
         sums, leaves [.., G], Jacobian."""
         C = self.curve
@@ -215,11 +251,9 @@ class MSMDevice:
         d = skey >> 1                                         # [G, N] sorted
         sgn = (skey & 1).astype(bool)
 
-        # ---- 2. row-major point gather + sign select ----
-        px = map_leaf(point_rows[0],
-                      lambda r: _gather_rows(r, order))       # [.., G, N]
-        py = map_leaf(point_rows[1],
-                      lambda r: _gather_rows(r, order))
+        # ---- 2. ONE packed row gather for every coordinate ----
+        rows, meta = point_rows
+        px, py = _unpack_gathered(_gather_rows(rows, order), meta)
         # negative digit -> add -P = (X, -Y)
         p = (px, F.select(sgn, F.neg(py), py))
 
@@ -264,9 +298,9 @@ class MSMDevice:
         c_idx = pos // K
         crosses = hit & (start < c_idx * K)
 
-        # run-end extraction as row gathers (transpose in, gather rows out)
-        g = map_leaf(local, lambda a: _gather_rows_per_window(a, pos))
-        inc = map_leaf(incoming, lambda a: _gather_rows_per_window(a, c_idx))
+        # run-end extraction: one packed row gather over the whole pytree
+        g = _gather_rows_per_window(local, pos)
+        inc = _gather_rows_per_window(incoming, c_idx)
         fixed = C.add(g, inc)
         sel = C.select(crosses, fixed, g)
         # zeroing X/Y/Z of empty buckets yields Z = 0 -> the complete add
@@ -291,10 +325,9 @@ class MSMDevice:
         assert len(points) == 2, "MSM consumes affine (X, Y) points"
         mag, neg = self.signed_digits(scalar_limbs)
         W, N = mag.shape
-        # one row-major transpose of the point data, shared by every window
-        # group (each leaf [*lead, N] -> [N, *lead]; ~1 ms/GB on TPU)
-        rows = (map_leaf(points[0], lambda a: jnp.moveaxis(a, -1, 0)),
-                map_leaf(points[1], lambda a: jnp.moveaxis(a, -1, 0)))
+        # one packed row-major transpose of ALL point coordinates, shared
+        # by every window group ([N, sum L]; ~1 ms/GB on TPU)
+        rows = _pack_rows(points)
         gw = self.gw or W
         if gw >= W:
             return self._window_group(mag, neg, rows)
