@@ -16,9 +16,16 @@ wasmsnark's own 50M-mul harness exhibits on a modern core
 on the reference's default 8-worker pool (src/bn128.js:209-215).
 vs_baseline = ours / 1.2e5.
 
+Section order is evidence-first: a startup snapshot with the device lands
+on stdout within seconds, the cheap Fr section provides a real measured
+fallback headline within ~1 min, and only then does the (compile-heavy)
+MSM section run and overwrite the headline — so a driver-side kill at ANY
+point leaves a parseable JSON line (rounds 3/4 both lost their numbers to
+a kill during the MSM cold compile).
+
 Env knobs: BENCH_MSM_BITS (default 20), BENCH_WINDOW_BITS (default 16),
 BENCH_PROVE_BITS (default = BENCH_MSM_BITS; 0 skips the prove section),
-BENCH_SKIP_NTT / BENCH_SKIP_FR (set to skip sections).
+BENCH_SKIP_NTT / BENCH_SKIP_FR / BENCH_SKIP_MSM (set to skip sections).
 """
 
 import json
@@ -48,7 +55,7 @@ def _module():
     return name, bn128()
 
 
-def bench_msm(out):
+def bench_msm(out, snap=None):
     import jax
     import jax.numpy as jnp
     import random
@@ -63,6 +70,7 @@ def bench_msm(out):
     bits = int(os.environ.get("BENCH_MSM_BITS", "20"))
     wbits = int(os.environ.get("BENCH_WINDOW_BITS", "16"))
     n = 1 << bits
+    snap = snap or (lambda: None)
 
     cname, m = _module()
     R = m.Fr.q
@@ -83,6 +91,8 @@ def bench_msm(out):
     ks = [rng.randrange(1, R) for _ in range(nd)]
     scal_ints = [rng.randrange(R) for _ in range(n)]
     from wasmsnark_tpu.utils.chiptime import sync
+    out["msm_phase"] = "point_gen"
+    snap()  # a driver kill during point-gen/compile still leaves a marker
     t0 = time.time()
     fb = FixedBase(G1d, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
     base_pts = jax.jit(fb.points_affine)(
@@ -92,14 +102,21 @@ def bench_msm(out):
     sync(points)
     gen_time = time.time() - t0
     scalars = jnp.asarray(ints_to_limbs_fast(scal_ints, 16))
+    out["point_gen_seconds"] = round(gen_time, 1)
+    out["msm_phase"] = "compile"
+    snap()
 
     run = jax.jit(msm.msm_point)
     t0 = time.time()
     res = run(scalars, points)
     sync(res)
     compile_time = time.time() - t0
+    out["msm_phase"] = "run"
+    out["msm_compile_seconds"] = round(compile_time, 1)
+    snap()
 
     dt = _time_reps(lambda: run(scalars, points))
+    out.pop("msm_phase", None)
 
     # --- correctness: sum s_i * (k_{i mod D} G) == (sum s_i k_{i mod D}) G ---
     got = tuple(Fp.unpack_mont(np.asarray(c)[:, None])[0] for c in res)
@@ -116,8 +133,6 @@ def bench_msm(out):
         "msm_seconds": round(dt, 3),
         "msm_result_ok": ok,
         "window_bits": wbits,
-        "msm_compile_seconds": round(compile_time, 1),
-        "point_gen_seconds": round(gen_time, 1),
         "distinct_points_log2": dbits,
     })
     return ok
@@ -171,6 +186,17 @@ def bench_fr_mul(out):
 
     dt = _time_reps(lambda: chain(x))
     out["fr_mont_mul_per_sec"] = round(CH * B / dt, 0)
+    if out.get("unit") in (None, "startup"):
+        # Fallback headline until the MSM section overwrites it: a driver
+        # kill mid-MSM-compile still leaves a real measured metric (the
+        # round-3/4 lesson).  Anchor: wasmsnark's ~80 ns/mul 50M-loop
+        # (test/f1.js:680-770) x 8 workers = 1e8 muls/s.
+        out.update({
+            "metric": "BN128 Fr Montgomery mul/sec/chip (MSM pending)",
+            "value": out["fr_mont_mul_per_sec"],
+            "unit": "mul/s",
+            "vs_baseline": round(CH * B / dt / 1e8, 2),
+        })
 
 
 def bench_prove(out):
@@ -362,6 +388,8 @@ def main():
         _note("backend init")
         devices, backend_error = _init_backend()
         out["device"] = str(devices[0])
+        out.update({"metric": "bench startup (no section completed)",
+                    "value": 0, "unit": "startup", "vs_baseline": 0})
         if backend_error is not None:
             out["backend_error"] = backend_error
             out["backend_fallback"] = "cpu"
@@ -370,14 +398,17 @@ def main():
             os.environ.setdefault("BENCH_MSM_BITS", "14")
             os.environ.setdefault("BENCH_NTT_BITS", "14")
             os.environ.setdefault("BENCH_PROVE_BITS", "0")
-        _note(f"device={devices[0]} — MSM section")
-        ok = bench_msm(out)
-        _snapshot(out, ok)
-        # Remaining sections run cheapest-first under a global deadline:
-        # each is skipped (with a note) once the budget is spent, so the
-        # headline line above is never lost to a driver timeout.
+        _snapshot(out, ok)  # first parseable line within seconds of start
+        # Sections: the cheap Fr section runs FIRST so a real measured
+        # metric lands on stdout within ~1 min even if the MSM section is
+        # later killed mid-compile (round-3/4 lesson: two null driver
+        # benches).  The MSM section then overwrites the headline.  Each
+        # section is exception-isolated: one failure must not cost the
+        # others their numbers.
         sections = [
-            ("fr", "BENCH_SKIP_FR", 20, bench_fr_mul),
+            ("fr", "BENCH_SKIP_FR", 0, bench_fr_mul),
+            ("msm", "BENCH_SKIP_MSM", 60,
+             lambda o: bench_msm(o, snap=lambda: _snapshot(o, ok))),
             ("ntt", "BENCH_SKIP_NTT", 60, bench_ntt),
             ("prove", "BENCH_SKIP_PROVE", 200, bench_prove),
         ]
@@ -389,16 +420,26 @@ def main():
                     f"{name}: deadline ({round(_deadline_left())}s left)")
                 continue
             _note(f"{name} section")
-            r = fn(out)
-            if isinstance(r, bool):
-                ok = r and ok
+            try:
+                r = fn(out)
+                if isinstance(r, bool):
+                    ok = r and ok
+            except Exception as e:
+                ok = False
+                out.setdefault("section_errors", {})[name] = (
+                    f"{type(e).__name__}: {e}"[:300])
             _snapshot(out, ok)
         for env, label, fn in [("BENCH_PAIRING", "pairing", bench_pairing),
                                ("BENCH_VERIFY", "batched-verify", bench_verify_batch),
                                ("BENCH_MNT", "MNT verify", bench_mnt_verify)]:
             if os.environ.get(env):
                 _note(f"{label} section")
-                ok = fn(out) and ok
+                try:
+                    ok = fn(out) and ok
+                except Exception as e:
+                    ok = False
+                    out.setdefault("section_errors", {})[label] = (
+                        f"{type(e).__name__}: {e}"[:300])
                 _snapshot(out, ok)
         _note("done")
         _snapshot(out, ok)
