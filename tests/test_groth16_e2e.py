@@ -48,8 +48,7 @@ def test_pkey_roundtrip():
     x, y = pk.alfa1
     assert (y * y - (x ** 3 + 3)) % m.F1.q == 0
     # sparse LC round trip: polsA nnz == total constraint-A entries
-    assert len(pk.pols_a.sig_idx) == sum(
-        1 for _ in range(0)) + 2 + 2  # 2 square constraints + 2 binding rows
+    assert len(pk.pols_a.sig_idx) == 4  # 2 square constraints + 2 binding rows
 
 
 def test_witness_roundtrip():

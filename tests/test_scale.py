@@ -65,3 +65,33 @@ def test_ntt_2pow21_roundtrip():
     x = jnp.asarray(x)
     y = jax.jit(lambda a: ntt.ifft(ntt.fft(a)))(x)
     assert bool(jnp.array_equal(x, Fr.cond_sub_q(y)))
+
+
+def test_ntt_2pow22_domain_sharded_roundtrip():
+    """Domain-axis-sharded 2^22 roundtrip on the virtual 8-device mesh —
+    the sharded-NTT leg of the reference's scale axis (its Fr 2-adicity
+    admits domains to 2^28, build_fft.js:29-34).  GSPMD inserts the
+    collectives between butterfly super-stages (SURVEY.md §2.5)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from wasmsnark_tpu.models.bn128 import bn128
+    from wasmsnark_tpu.ops.fp import FpDevice
+    from wasmsnark_tpu.ops.ntt import NTTDevice
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    sh = NamedSharding(mesh, P(None, "d"))
+
+    m = bn128()
+    Fr = FpDevice(m.fr_spec)
+    ntt = NTTDevice(m.ntt_spec, Fr)
+    rng = np.random.default_rng(4)
+    n = 1 << 22
+    x = rng.integers(0, 1 << 16, size=(Fr.L, n), dtype=np.uint32)
+    x[-1] &= 0x0FFF
+    xd = jax.device_put(jnp.asarray(x), sh)
+    y = jax.jit(lambda a: ntt.ifft(ntt.fft(a)), out_shardings=sh)(xd)
+    assert bool(jnp.array_equal(jnp.asarray(x), Fr.cond_sub_q(y)))
