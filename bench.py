@@ -76,7 +76,9 @@ def bench_msm(out, snap=None):
     R = m.Fr.q
     Fp = FpDevice(m.fp_spec)
     G1d = JacobianDevice(FpAdapter(Fp))
-    msm = MSMDevice(G1d, window_bits=wbits, group_windows=8)
+    gw = os.environ.get("BENCH_GROUP_WINDOWS")
+    msm = MSMDevice(G1d, window_bits=wbits,
+                    group_windows=int(gw) if gw else None)
 
     # --- inputs: k_i * G via the fixed-base engine.  Distinct points are
     # generated for a 2^BENCH_DISTINCT_BITS base set and tiled up to n:

@@ -13,7 +13,8 @@ def main():
     ap.add_argument("--bits", type=int, default=20)
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--dbits", type=int, default=12)
-    ap.add_argument("--sweep", default="9,17")
+    ap.add_argument("--sweep", default="9,17",
+                help="comma list of gw or gw:chunk_steps variants")
     ap.add_argument("--check", action="store_true",
                     help="verify each variant's result against the scalar-"
                          "product identity (host, slow-ish)")
@@ -56,16 +57,19 @@ def main():
         ek = sum(s * ks[i % nd] for i, s in enumerate(scal_ints)) % R
         expected = m.G1.affine(m.G1.times_scalar(m.g1_gen, ek))
 
-    for gw in [int(x) for x in args.sweep.split(",") if x]:
-        msm = MSMDevice(C, window_bits=args.window, group_windows=gw)
+    for spec in [x for x in args.sweep.split(",") if x]:
+        gw, _, cs = spec.partition(":")
+        gw, cs = int(gw), int(cs or 256)
+        msm = MSMDevice(C, window_bits=args.window, group_windows=gw,
+                        chunk_steps=cs)
         run = jax.jit(msm.msm_point)
         t0 = time.time()
         res = run(scalars, points)
         sync(res)
         ct = time.time() - t0
         dt = time_reps(run, scalars, points, reps=3, warm=False)
-        line = (f"gw={gw:<3d} {dt*1e3:9.1f} ms -> {n/dt:,.0f} points/s "
-                f"(compile {ct:.0f}s)")
+        line = (f"gw={gw:<3d} cs={cs:<4d} {dt*1e3:9.1f} ms -> "
+                f"{n/dt:,.0f} points/s (compile {ct:.0f}s)")
         if expected is not None:
             got = tuple(Fp.unpack_mont(np.asarray(c)[:, None])[0]
                         for c in res)

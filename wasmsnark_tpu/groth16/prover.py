@@ -128,11 +128,10 @@ class Groth16Prover:
 
         def build():
             dev = self.G1d if curve_key == "g1" else self.G2d
-            # bound gathered/scanned intermediates' HBM at large N
-            # (ops/msm.py group_windows knob); G2 leaves are 2x wider, so
-            # halve its window group
-            msm = MSMDevice(dev, window_bits=c,
-                            group_windows=8 if curve_key == "g1" else 4)
+            # group_windows=None -> HBM-aware auto-sizing with equalized
+            # groups (ops/msm.py _auto_gw): one 17-window group at 2^20 G1,
+            # narrower equalized groups for the 2x-wider G2 leaves
+            msm = MSMDevice(dev, window_bits=c, group_windows=None)
             if self.mesh is not None:
                 from ..parallel.mesh import msm_sharded_point
                 return msm_sharded_point(msm, self.mesh)

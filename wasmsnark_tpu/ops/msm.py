@@ -47,6 +47,8 @@ including the production window width).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -204,17 +206,41 @@ def times_scalar_signed_device(curve, points, scalar_limbs,
 
 class MSMDevice:
     def __init__(self, curve, window_bits: int = 16,
-                 group_windows: int | None = None):
+                 group_windows: int | None = None,
+                 chunk_steps: int = 256):
         """window_bits: 1..16.  Cost model: the sort + segmented scan scale
         with n_windows = ceil(256/c)+1 while the bucket triangle scales with
         2^(c-1); on TPU the scan dominates, so c = 16 (n_windows minimal)
         is the production choice for large N — the analogue of the
         reference's tuned w=7 (src/bn128.js:109).  group_windows bounds how
-        many windows are materialized at once (HBM knob)."""
+        many windows are materialized at once (HBM knob).  chunk_steps is
+        the segmented scan's sequential chunk length: the scan runs
+        chunk_steps sequential combiner steps at N/chunk_steps-wide lanes,
+        so smaller values trade per-step dispatch overhead against lane
+        width (tools/profile_msm2.py sweeps it)."""
         assert 1 <= window_bits <= LIMB_BITS
         self.curve = curve
         self.c = window_bits
         self.gw = group_windows
+        self.chunk_steps = chunk_steps
+
+    def _auto_gw(self, W: int, N: int, points) -> int:
+        """HBM-aware window-group width.  Working set per point-window slot
+        is ~2.75x the affine point bytes (one gathered affine copy + the
+        scan's Jacobian outputs) plus the sort keys; pick the largest group
+        width that fits the budget, then EQUALIZE group sizes so no slots
+        are wasted on padding (17 windows at gw=8 would run 3 groups = 24
+        slots, 29% of the MSM spent on all-zero pad windows — the round-4
+        configuration's single biggest loss; gw=6 runs the same 3 groups at
+        18 slots, and a 2^20-point G1 MSM fits a SINGLE 17-window group in
+        ~6 GB, measured 900k points/s vs 664k at gw=8)."""
+        aff_bytes = sum(
+            int(np.prod(a.shape[:-1])) * a.dtype.itemsize
+            for a in jax.tree.leaves(points))
+        slot = 2.75 * aff_bytes + 16
+        budget = float(os.environ.get("WASMSNARK_TPU_MSM_HBM", 8e9))
+        gw_max = max(1, min(W, int(budget / (slot * N))))
+        return -(-W // -(-W // gw_max))  # ceil(W / ceil(W / gw_max))
 
     # -- digit decomposition --------------------------------------------------
 
@@ -261,7 +287,8 @@ class MSMDevice:
         prev = jnp.concatenate(
             [jnp.full((G, 1), 0xFFFFFFFF, jnp.uint32), d[:, :-1]], axis=-1)
         flags = d != prev                                     # [G, N]
-        local, incoming, K = seg_scan_parts_mixed(C, flags, p)
+        local, incoming, K = seg_scan_parts_mixed(
+            C, flags, p, chunk_steps=self.chunk_steps)
 
         # ---- 4. dense bucket array: run ends via MXU histogram ----
         # Each bucket's total is the run-end entry of its digit in the
@@ -328,7 +355,7 @@ class MSMDevice:
         # one packed row-major transpose of ALL point coordinates, shared
         # by every window group ([N, sum L]; ~1 ms/GB on TPU)
         rows = _pack_rows(points)
-        gw = self.gw or W
+        gw = self.gw if self.gw is not None else self._auto_gw(W, N, points)
         if gw >= W:
             return self._window_group(mag, neg, rows)
         # run the groups under lax.scan: ONE traced copy of the window-group
