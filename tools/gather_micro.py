@@ -61,6 +61,17 @@ def row_gather_packed(xyr, idx):
     return g[:L], g[L:]
 
 
+xyp = jnp.asarray(rng.integers(0, 1 << 32, (N, L), np.uint32))  # 2x16b packed
+
+
+def row_gather_u32packed(xyp, idx):
+    """Both coords' 16-bit limbs packed two-per-u32: rows are 64 B instead
+    of 128 B; unpack back to [2L] planes with shift/mask after the gather."""
+    g = jnp.take(xyp, idx.reshape(-1), axis=0).reshape(G, N, L)
+    g = jnp.moveaxis(g, -1, 0)
+    return (g & 0xFFFF, g >> 16)
+
+
 def transpose_only(x):
     return x.T
 
@@ -93,6 +104,7 @@ for name, f, a in [
     ("B row-gather [N,L]+transpose", row_gather, (xr, idx)),
     ("B1 row-gather no transpose", row_gather_notrans, (xr, idx)),
     ("C row-gather packed [N,2L]", row_gather_packed, (xyr, idx)),
+    ("C2 row-gather u32-packed [N,L]", row_gather_u32packed, (xyp, idx)),
     ("  transpose [L,N]->[N,L]", transpose_only, (x,)),
     ("  transpose [G,N,L]->[L,G,N]", big_transpose, (gbig,)),
     ("D lane-gather small B", lane_gather_small, (x, idx_b)),

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--bits", type=int, default=20)
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--dbits", type=int, default=12,
+                    help="log2 distinct base points (tiled to n: MSM cost "
+                         "depends only on scalars, and n distinct "
+                         "fixed-base points OOM at 2^20)")
     ap.add_argument("--sweep", default="",
                     help="comma list of group_windows values: time the full "
                          "msm_point for each (reuses the generated points)")
@@ -42,18 +46,19 @@ def main():
         seg_scan_parts_mixed, prefix_scan, reduce_last)
     from wasmsnark_tpu.utils.serialize import ints_to_limbs_fast
 
-    n = 1 << args.bits
+    n, nd = 1 << args.bits, 1 << min(args.bits, args.dbits)
     m = bn128()
     Fp = FpDevice(m.fp_spec)
     C = JacobianDevice(FpAdapter(Fp))
     msm = MSMDevice(C, window_bits=args.window, group_windows=args.groups)
 
     rng = random.Random(0)
-    ks = [rng.randrange(1, R) for _ in range(n)]
+    ks = [rng.randrange(1, R) for _ in range(nd)]
     fb = FixedBase(C, m.G1, m.g1_gen, Fp.pack_mont, 16 * m.fr_spec.n_limbs)
     from wasmsnark_tpu.utils.chiptime import sync, time_reps, read_latency
-    points = jax.jit(fb.points_affine)(
+    base = jax.jit(fb.points_affine)(
         jnp.asarray(ints_to_limbs_fast(ks, 16)))
+    points = jax.tree.map(lambda a: jnp.tile(a, (1, n // nd)), base)
     sync(points)
     scalars = jnp.asarray(ints_to_limbs_fast(
         [rng.randrange(R) for _ in range(n)], 16))
@@ -88,7 +93,8 @@ def main():
 
     # ---- stage 2: packed row-major point gather + neg select ----
     from wasmsnark_tpu.ops.msm import _pack_rows, _unpack_gathered
-    t_trans, (rows, meta) = timeit(lambda pts: _pack_rows(pts), points)
+    t_trans, _ = timeit(lambda pts: _pack_rows(pts)[0], points)
+    rows, meta = _pack_rows(points)  # meta holds a treedef (host-side)
     t_pgather, p_raw = timeit(
         lambda rw, o: _unpack_gathered(_gather_rows(rw, o), meta),
         rows, order)

@@ -231,6 +231,22 @@ class F3:
         F = self.base
         return (F.mul(a[0], b_base), F.mul(a[1], b_base), F.mul(a[2], b_base))
 
+    def mul_by_1(self, a, c1):
+        """Sparse multiply a * (c1 v): 3 base muls instead of the dense 6
+        (the reference's f6m_mul1, build_bls12381.js:577-741)."""
+        F = self.base
+        return (self.mul_nr(F.mul(a[2], c1)), F.mul(a[0], c1),
+                F.mul(a[1], c1))
+
+    def mul_by_01(self, a, c0, c1):
+        """Sparse multiply a * (c0 + c1 v): 6 base muls
+        (the reference's f6m_mul01, build_bls12381.js:577-741)."""
+        F = self.base
+        r0 = F.add(F.mul(a[0], c0), self.mul_nr(F.mul(a[2], c1)))
+        r1 = F.add(F.mul(a[0], c1), F.mul(a[1], c0))
+        r2 = F.add(F.mul(a[1], c1), F.mul(a[2], c0))
+        return (r0, r1, r2)
+
     def inv(self, a):
         # adjugate method (build_f3m.js:389-444)
         F = self.base
@@ -259,6 +275,26 @@ class F3:
 
     def mul_scalar(self, a, s: int):
         return tuple(self.base.mul_scalar(x, s) for x in a)
+
+
+def frobenius12(F2, xi, q, f, power=1):
+    """f^(q^power) for f in the quadratic-over-cubic tower
+    F12 = F6[w]/(w^2 - v), F6 = F2[v]/(v^3 - xi): per-component F2
+    conjugation (odd powers; q = 3 mod 4 so u^q = -u) plus multiplication
+    by the gamma coefficients xi^(k (q^power - 1)/6) for the component at
+    power k of xi^(1/6) — the reference's precomputed gamma tables,
+    validated against exp-by-q^i exactly as its tests do
+    (build_bn128.js:838-939, build_bls12381.js:857-961,
+    test/bn128.js Frobenius-vs-exp pattern)."""
+    (a0, a1, a2), (b0, b1, b2) = f
+    e = (q ** power - 1) // 6
+    g = [F2.exp(xi, k * e) for k in range(1, 6)]
+    if power % 2 == 1:
+        conj = F2.conjugate
+        a0, a1, a2 = conj(a0), conj(a1), conj(a2)
+        b0, b1, b2 = conj(b0), conj(b1), conj(b2)
+    return ((a0, F2.mul(a1, g[1]), F2.mul(a2, g[3])),
+            (F2.mul(b0, g[0]), F2.mul(b1, g[2]), F2.mul(b2, g[4])))
 
 
 def _generic_exp(F, a, e: int):

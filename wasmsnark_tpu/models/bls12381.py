@@ -55,6 +55,7 @@ class Bls12381:
         # (build_bls12381.js:179-211)
         def mul_nr12(a):
             return (self.F2.mul(self.xi, a[2]), a[0], a[1])
+        self.mul_nr12 = mul_nr12
         self.F12 = fo.F2(self.F6, mul_nr12)
 
         self.G1 = JacobianCurve(self.F1, "g1")
@@ -155,6 +156,30 @@ class Bls12381:
         a1 = self._affine2(self.G1, g1_point)
         a2 = self._affine2(self.G2, g2_point)
         return self.final_exponentiation(self.miller_loop(a1, a2))
+
+    def frobenius(self, f, power=1):
+        """F12 Frobenius via gamma tables (build_bls12381.js:857-961);
+        equals F12.exp(f, Q**power)."""
+        return fo.frobenius12(self.F2, self.xi, Q, f, power)
+
+    def cyclotomic_square(self, f):
+        """Granger-Scott squaring on the cyclotomic subgroup
+        (build_bls12381.js:961-1250)."""
+        from ..ops.towers import gs_cyclotomic_square
+        return gs_cyclotomic_square(
+            self.F2, lambda a: self.F2.mul(self.xi, a), f)
+
+    def mul_by_014(self, f, c0, c1, c4):
+        """Sparse F12 multiply by ((c0, c1, 0), (0, c4, 0)) — the M-twist
+        line shape (ftm_mul014, build_bls12381.js:577-741): 8+3+2 F2 muls
+        vs the dense 18, via the f6m_mul01/f6m_mul1 sparse products."""
+        F6, F2 = self.F6, self.F2
+        d0, d1 = f
+        A = F6.mul_by_01(d0, c0, c1)
+        B = F6.mul_by_1(d1, c4)
+        t = F6.mul_by_01(F6.add(d0, d1), c0, F2.add(c1, c4))
+        return (F6.add(A, self.mul_nr12(B)),
+                F6.sub(F6.sub(t, A), B))
 
     @staticmethod
     def _affine2(curve, p):

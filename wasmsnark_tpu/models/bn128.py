@@ -69,6 +69,7 @@ class Bn128:
         # Fp12 = Fp6[w]/(w^2 - v) (build_bn128.js mulNR12: shift + xi on top)
         def mul_nr12(a):  # a in F6: (a0,a1,a2) -> (xi*a2, a0, a1)
             return (self.F2.mul(self.xi, a[2]), a[0], a[1])
+        self.mul_nr12 = mul_nr12
         self.F12 = fo.F2(self.F6, mul_nr12)
 
         self.G1 = JacobianCurve(self.F1, "g1")
@@ -187,6 +188,30 @@ class Bn128:
         a1 = self._affine2(self.G1, g1_point)
         a2 = self._affine2(self.G2, g2_point)
         return self.final_exponentiation(self.miller_loop(a1, a2))
+
+    def frobenius(self, f, power=1):
+        """F12 Frobenius via gamma tables (__mulBy024-era gamma maps,
+        build_bn128.js:838-939); equals F12.exp(f, Q**power)."""
+        return fo.frobenius12(self.F2, self.xi, Q, f, power)
+
+    def cyclotomic_square(self, f):
+        """Granger-Scott squaring, valid on the cyclotomic subgroup
+        (__cyclotomicSquare, build_bn128.js:980-1089)."""
+        from ..ops.towers import gs_cyclotomic_square
+        return gs_cyclotomic_square(
+            self.F2, lambda a: self.F2.mul(self.xi, a), f)
+
+    def mul_line(self, f, a0, b0, b1):
+        """Sparse F12 multiply by a Miller line ((a0,0,0),(b0,b1,0)) —
+        the __mulBy024 analogue in this tower basis (build_bn128.js:613-753):
+        13 F2 muls vs the dense 18."""
+        F6, F2 = self.F6, self.F2
+        d0, d1 = f
+        A = F6.mul_base(d0, a0)
+        B = F6.mul_by_01(d1, b0, b1)
+        t = F6.mul_by_01(F6.add(d0, d1), F2.add(a0, b0), b1)
+        return (F6.add(A, self.mul_nr12(B)),
+                F6.sub(F6.sub(t, A), B))
 
     @staticmethod
     def _affine2(curve, p):

@@ -61,10 +61,11 @@ from ..fields.spec import LIMB_BITS
 def _gather_rows(rows, order):
     """Row gather: rows [N, *lead] (lane index MAJOR — each gathered row is
     the contiguous limb data of one point coordinate), order [G, N] ->
-    [*lead, G, N].  TPU gathers cost ~5-7 ns per row almost independently
-    of row size up to ~64 B, while minor-axis (lane) gathers scalarize —
-    this layout is the difference between 248 ms and ~60 ms for the MSM's
-    2^20-point window-group gather (tools/gather_micro.py)."""
+    [*lead, G, N].  TPU row gathers run at full speed for rows up to
+    ~64 B and fall off a CLIFF above that (a [N, 32]-u32 gather costs
+    5.6x a [N, 16]-u32 one — tools/gather_micro.py, honest-sync), while
+    minor-axis (lane) gathers scalarize entirely.  Callers keep rows at or
+    under 16 u32 via the 16-bit pair packing in _pack_rows."""
     G, N = order.shape
     lead = rows.shape[1:]
     g = jnp.take(rows, order.reshape(-1), axis=0).reshape((G, N) + lead)
@@ -73,25 +74,37 @@ def _gather_rows(rows, order):
 
 
 def _pack_rows(tree):
-    """Pytree with leaves [L_i, N] -> (rows [N, sum L_i], treedef, sizes).
-    One packed row matrix means ONE row gather for every coordinate of
-    every tower component (per-row cost is near-constant in row width up to
-    ~64-128 B, so packing amortizes the per-gather fixed cost)."""
+    """Pytree with 16-bit limb-plane leaves [L_i, N] -> (rows
+    [N, ceil(sum L_i / 2)] u32, meta).  Every limb value is 16-bit (the
+    canonical Montgomery plane layout), so ADJACENT LIMB PAIRS ARE PACKED
+    TWO PER u32: a BN128 affine point (2 coords x 16 limbs) becomes one
+    64-byte row — at or under the TPU row-gather sweet spot — instead of a
+    128-byte row that gathers 5.6x slower (tools/gather_micro.py C vs C2).
+    _unpack_gathered splits the pairs back out with shift/mask (cheap
+    elementwise VPU work) after the gather."""
     leaves, treedef = jax.tree.flatten(tree)
-    rows = jnp.concatenate([jnp.moveaxis(a, -1, 0).reshape(a.shape[-1], -1)
-                            for a in leaves], axis=-1)
+    N = leaves[0].shape[-1]
+    planes = jnp.concatenate([a.reshape(-1, N) for a in leaves], axis=0)
+    tot = planes.shape[0]
+    if tot % 2:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((1, N), planes.dtype)], axis=0)
+    packed = (planes[0::2] & 0xFFFF) | (planes[1::2] << 16)
+    rows = packed.T                                          # [N, ceil/2]
     sizes = [int(np.prod(a.shape[:-1])) for a in leaves]
     shapes = [a.shape[:-1] for a in leaves]
-    return rows, (treedef, sizes, shapes)
+    return rows, (treedef, sizes, shapes, tot)
 
 
 def _unpack_gathered(g, meta):
-    """g [sum L_i, G, N] (output of _gather_rows on packed rows) -> pytree
-    with leaves [*lead_i, G, N]."""
-    treedef, sizes, shapes = meta
+    """g [ceil(sum L_i / 2), G, N] (output of _gather_rows on 16-bit-pair
+    packed rows) -> pytree with leaves [*lead_i, G, N]."""
+    treedef, sizes, shapes, tot = meta
+    full = jnp.stack([g & 0xFFFF, g >> 16], axis=1)
+    full = full.reshape((2 * g.shape[0],) + g.shape[1:])[:tot]
     out, off = [], 0
     for sz, shp in zip(sizes, shapes):
-        out.append(g[off:off + sz].reshape(shp + g.shape[1:]))
+        out.append(full[off:off + sz].reshape(shp + g.shape[1:]))
         off += sz
     return jax.tree.unflatten(treedef, out)
 
@@ -99,24 +112,32 @@ def _unpack_gathered(g, meta):
 def _gather_rows_per_window(tree, idx):
     """Per-window row gather of a whole pytree: leaves [*lead_i, G, S],
     idx [G, B] -> leaves [*lead_i, G, B].  All leaves are packed into one
-    [G*S, sum L_i] row matrix so the extraction is ONE flat row gather
-    (row-major transposes are ~1 ms/GB; the minor-axis take_along_axis
+    [G*S, ceil(sum L_i / 2)] row matrix — 16-bit limb pairs two per u32,
+    same trick as _pack_rows (rows above ~64 B gather 5.6x slower) — so
+    the extraction is ONE flat row gather (the minor-axis take_along_axis
     this replaces was ~50x slower)."""
     leaves, treedef = jax.tree.flatten(tree)
     G, S = leaves[0].shape[-2:]
     B = idx.shape[-1]
     sizes = [int(np.prod(a.shape[:-2])) for a in leaves]
     shapes = [a.shape[:-2] for a in leaves]
-    rows = jnp.concatenate(
-        [jnp.moveaxis(a.reshape(-1, G, S), 0, -1) for a in leaves],
-        axis=-1).reshape(G * S, -1)                          # [G*S, totL]
+    planes = jnp.concatenate(
+        [a.reshape(-1, G, S) for a in leaves], axis=0)       # [totL, G, S]
+    tot = planes.shape[0]
+    if tot % 2:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((1, G, S), planes.dtype)], axis=0)
+    packed = (planes[0::2] & 0xFFFF) | (planes[1::2] << 16)
+    rows = jnp.moveaxis(packed, 0, -1).reshape(G * S, -1)    # [G*S, tot/2]
     flat = (jnp.arange(G, dtype=jnp.int32)[:, None] * S
             + idx.astype(jnp.int32)).reshape(-1)
     g = jnp.take(rows, flat, axis=0).reshape(G, B, -1)
-    g = jnp.moveaxis(g, -1, 0)                               # [totL, G, B]
+    g = jnp.moveaxis(g, -1, 0)                               # [tot/2, G, B]
+    full = jnp.stack([g & 0xFFFF, g >> 16], axis=1)
+    full = full.reshape((2 * g.shape[0],) + g.shape[1:])[:tot]
     out, off = [], 0
     for sz, shp in zip(sizes, shapes):
-        out.append(g[off:off + sz].reshape(shp + (G, B)))
+        out.append(full[off:off + sz].reshape(shp + (G, B)))
         off += sz
     return jax.tree.unflatten(treedef, out)
 
