@@ -357,6 +357,68 @@ def mod_sub_pallas(spec: FieldSpec, x, y):
     return _dispatch_2in(spec, _addsub_call(spec, True), x, y)
 
 
+def _cneg_kernel(L: int, q_limbs: tuple, f_ref, y_ref, o_ref):
+    """o = f ? (q - y, with -0 = 0) : y on one (L, 8, T8) tile — the MSM's
+    signed-digit point negation fused into ONE memory pass (a separate
+    neg + select costs two full passes over the gathered Y planes,
+    ~43 ms/group at 2^20 vs ~3 ms fused)."""
+    y = y_ref[:]
+    n = sub_vals(L, q_limbs, jnp.zeros_like(y), y)
+    o_ref[:] = jnp.where(f_ref[:][None] != 0, n, y)
+
+
+@functools.lru_cache(maxsize=None)
+def _cneg_call(spec: FieldSpec):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = spec.n_limbs
+    kern = functools.partial(_cneg_kernel, L, spec.q_limbs)
+
+    def run(f, y):
+        B8 = y.shape[2]
+        t8 = TILE_B // 8
+        grid = (B8 // t8,) if B8 >= t8 else (1,)
+        tile = t8 if B8 >= t8 else B8
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 8, tile), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((L, 8, tile), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((L, 8, B8), jnp.uint32),
+        )(f, y)
+
+    return run
+
+
+def mod_cneg_pallas(spec: FieldSpec, flag, y):
+    """flag ? -y : y (mod q).  flag: bool/int, shape = y.shape[1:]."""
+    L = spec.n_limbs
+    bshape = y.shape[1:]
+    f = jnp.broadcast_to(jnp.asarray(flag, jnp.uint32), bshape)
+    B = int(np.prod(bshape)) if bshape else 1
+    yf = y.reshape(L, B)
+    ff = f.reshape(B)
+    step = TILE_B if B >= TILE_B else 1024
+    pad = (-B) % step
+    if pad:
+        yf = jnp.pad(yf, ((0, 0), (0, pad)))
+        ff = jnp.pad(ff, (0, pad))
+    Bp = B + pad
+    out = _cneg_call(spec)(ff.reshape(8, Bp // 8),
+                           yf.reshape(L, 8, Bp // 8))
+    out = out.reshape(L, Bp)
+    if pad:
+        out = out[:, :B]
+    return out.reshape((L,) + bshape)
+
+
 class ValAdapter:
     """Field adapter over in-register (L, 8, T8) VALUES — the same protocol
     as towers.FpAdapter but usable *inside* a Pallas kernel, so the tower

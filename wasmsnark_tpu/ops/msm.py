@@ -67,10 +67,17 @@ def _gather_rows(rows, order):
     minor-axis (lane) gathers scalarize entirely.  Callers keep rows at or
     under 16 u32 via the 16-bit pair packing in _pack_rows."""
     G, N = order.shape
-    lead = rows.shape[1:]
-    g = jnp.take(rows, order.reshape(-1), axis=0).reshape((G, N) + lead)
-    k = len(lead)
-    return jnp.transpose(g, tuple(range(2, 2 + k)) + (0, 1))
+    (W,) = rows.shape[1:]
+    flat = order.reshape(-1)
+    # keep each gathered row at or under 16 u32 (64 B): wider row matrices
+    # (G2's 4 packed coords, the Jacobian extraction's 3) are gathered as
+    # independent <=64 B column groups, each at full row-gather speed
+    parts = []
+    for s in range(0, W, 16):
+        g = jnp.take(rows[:, s:s + 16], flat, axis=0)
+        parts.append(jnp.transpose(
+            g.reshape(G, N, g.shape[-1]), (2, 0, 1)))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def _pack_rows(tree):
@@ -112,32 +119,28 @@ def _unpack_gathered(g, meta):
 def _gather_rows_per_window(tree, idx):
     """Per-window row gather of a whole pytree: leaves [*lead_i, G, S],
     idx [G, B] -> leaves [*lead_i, G, B].  All leaves are packed into one
-    [G*S, ceil(sum L_i / 2)] row matrix — 16-bit limb pairs two per u32,
-    same trick as _pack_rows (rows above ~64 B gather 5.6x slower) — so
-    the extraction is ONE flat row gather (the minor-axis take_along_axis
-    this replaces was ~50x slower)."""
+    [G*S, sum L_i] row matrix so the extraction is ONE flat row gather
+    (the minor-axis take_along_axis this replaces was ~50x slower).
+    B << S here (bucket run-ends out of the full point axis), so the
+    gather itself is ~3 ms and the dominant cost is the row-matrix
+    transpose — 16-bit pair packing does not pay off at this shape
+    (measured: it DOUBLED the stage by adding a pack pass over the
+    3.4 GB scan output)."""
     leaves, treedef = jax.tree.flatten(tree)
     G, S = leaves[0].shape[-2:]
     B = idx.shape[-1]
     sizes = [int(np.prod(a.shape[:-2])) for a in leaves]
     shapes = [a.shape[:-2] for a in leaves]
-    planes = jnp.concatenate(
-        [a.reshape(-1, G, S) for a in leaves], axis=0)       # [totL, G, S]
-    tot = planes.shape[0]
-    if tot % 2:
-        planes = jnp.concatenate(
-            [planes, jnp.zeros((1, G, S), planes.dtype)], axis=0)
-    packed = (planes[0::2] & 0xFFFF) | (planes[1::2] << 16)
-    rows = jnp.moveaxis(packed, 0, -1).reshape(G * S, -1)    # [G*S, tot/2]
+    rows = jnp.concatenate(
+        [jnp.moveaxis(a.reshape(-1, G, S), 0, -1) for a in leaves],
+        axis=-1).reshape(G * S, -1)                          # [G*S, totL]
     flat = (jnp.arange(G, dtype=jnp.int32)[:, None] * S
             + idx.astype(jnp.int32)).reshape(-1)
     g = jnp.take(rows, flat, axis=0).reshape(G, B, -1)
-    g = jnp.moveaxis(g, -1, 0)                               # [tot/2, G, B]
-    full = jnp.stack([g & 0xFFFF, g >> 16], axis=1)
-    full = full.reshape((2 * g.shape[0],) + g.shape[1:])[:tot]
+    g = jnp.moveaxis(g, -1, 0)                               # [totL, G, B]
     out, off = [], 0
     for sz, shp in zip(sizes, shapes):
-        out.append(full[off:off + sz].reshape(shp + (G, B)))
+        out.append(g[off:off + sz].reshape(shp + (G, B)))
         off += sz
     return jax.tree.unflatten(treedef, out)
 
@@ -301,8 +304,11 @@ class MSMDevice:
         # ---- 2. ONE packed row gather for every coordinate ----
         rows, meta = point_rows
         px, py = _unpack_gathered(_gather_rows(rows, order), meta)
-        # negative digit -> add -P = (X, -Y)
-        p = (px, F.select(sgn, F.neg(py), py))
+        # negative digit -> add -P = (X, -Y); fused cond-negate kernel
+        # (one memory pass vs neg + select's two)
+        cneg = getattr(F, "cneg",
+                       lambda m, a: F.select(m, F.neg(a), a))
+        p = (px, cneg(sgn, py))
 
         # ---- 3. chunk-local mixed segmented scan over the point axis ----
         prev = jnp.concatenate(

@@ -41,6 +41,15 @@ class FpAdapter:
     def neg(self, a):
         return self.fp.neg(a)
 
+    def cneg(self, mask, a):
+        """mask ? -a : a, fused into one memory pass on TPU (the MSM's
+        signed-digit sign application)."""
+        from .fp import _use_pallas
+        if _use_pallas():
+            from .fp_pallas import mod_cneg_pallas
+            return mod_cneg_pallas(self.fp.spec, mask, a)
+        return self.fp.select(mask, self.fp.neg(a), a)
+
     def is_zero(self, a):
         return self.fp.is_zero(a)
 
@@ -108,6 +117,12 @@ class F2Device:
     def neg(self, a):
         F = self.base
         return (F.neg(a[0]), F.neg(a[1]))
+
+    def cneg(self, mask, a):
+        F = self.base
+        if hasattr(F, "cneg"):
+            return (F.cneg(mask, a[0]), F.cneg(mask, a[1]))
+        return self.select(mask, self.neg(a), a)
 
     def conjugate(self, a):
         return (a[0], self.base.neg(a[1]))
