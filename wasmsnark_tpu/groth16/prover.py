@@ -222,9 +222,9 @@ class Groth16Prover:
         if isinstance(witness, (bytes, bytearray)):
             signals = read_witness(bytes(witness), m.fr_spec)
         else:
-            from ..utils.serialize import ints_to_limbs
-            signals = ints_to_limbs([int(v) % m.Fr.q for v in witness],
-                                    m.fr_spec.n_limbs)
+            from ..utils.serialize import ints_to_limbs_fast
+            signals = ints_to_limbs_fast(
+                [int(v) % m.Fr.q for v in witness], m.fr_spec.n_limbs)
         assert signals.shape[1] == pk.n_signals
 
         # point planes live on device across prove() calls (one upload per

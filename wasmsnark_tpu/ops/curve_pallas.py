@@ -226,7 +226,14 @@ def _curve_call(spec: FieldSpec, kind: str):
         )(*arrs)
         return out
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def _dispatch(spec: FieldSpec, kind: str, coords):

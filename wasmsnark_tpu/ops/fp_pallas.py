@@ -253,7 +253,14 @@ def _mont_mul_call(spec: FieldSpec):
             out_shape=jax.ShapeDtypeStruct((L, 8, B8), jnp.uint32),
         )(x, y)
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def mont_mul_pallas(spec: FieldSpec, x, y):
@@ -325,7 +332,14 @@ def _addsub_call(spec: FieldSpec, is_sub: bool):
             out_shape=jax.ShapeDtypeStruct((L, 8, B8), jnp.uint32),
         )(x, y)
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def _dispatch_2in(spec: FieldSpec, call, x, y):
@@ -394,7 +408,14 @@ def _cneg_call(spec: FieldSpec):
             out_shape=jax.ShapeDtypeStruct((L, 8, B8), jnp.uint32),
         )(f, y)
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def mod_cneg_pallas(spec: FieldSpec, flag, y):
@@ -508,7 +529,14 @@ def _butterfly_call(spec: FieldSpec):
                        jax.ShapeDtypeStruct((L, 8, B8), jnp.uint32)),
         )(u, v, w)
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def butterfly_pallas(spec: FieldSpec, u, v, w):

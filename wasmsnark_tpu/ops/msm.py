@@ -262,9 +262,19 @@ class MSMDevice:
             int(np.prod(a.shape[:-1])) * a.dtype.itemsize
             for a in jax.tree.leaves(points))
         slot = 2.75 * aff_bytes + 16
-        budget = float(os.environ.get("WASMSNARK_TPU_MSM_HBM", 8e9))
-        gw_max = max(1, min(W, int(budget / (slot * N))))
-        return -(-W // -(-W // gw_max))  # ceil(W / ceil(W / gw_max))
+        budget = float(os.environ.get("WASMSNARK_TPU_MSM_HBM", 10e9))
+        # XLA tiles the window axis at sublane granularity: a [.., G, N]
+        # buffer physically occupies roundup(G, 8) rows (a G2 gw=9 group
+        # padded 9 -> 16 OOMed at 15.8/15.75 GB), so feasibility must use
+        # the PADDED group width.  Iterate group counts smallest-first so
+        # the fewest (equalized) groups that fit win.
+        for k in range(1, W + 1):
+            gw = -(-W // k)
+            if slot * (-(-gw // 8) * 8) * N <= budget:
+                return gw
+        # <= 8 windows all pad to the same 8-row tile; if even that misses
+        # the budget the estimate is beyond what grouping can fix
+        return min(8, W)
 
     # -- digit decomposition --------------------------------------------------
 

@@ -297,7 +297,14 @@ def _tower_call(spec: FieldSpec, kind: str, xi: tuple = (9, 1)):
                 for _ in range(n_out)),
         )(*arrs)
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def _dispatch(spec: FieldSpec, kind: str, arrays, xi=(9, 1)):
@@ -508,7 +515,14 @@ def _mnt_call(spec: FieldSpec, kind: str):
                 for _ in range(n_out)),
         )(*arrs)
 
-    return run
+    # inline jit: the traced jaxpr is cached by (fun, avals) across call
+    # sites, so composite programs (MSM scans, fixed-base ladders, provers)
+    # stop re-tracing this kernel body at every use — measured 0.47 s per
+    # mont-mul TRACE without it, ~0 with (the groth16 setup spent 300+ s
+    # of its 800 s wall purely re-tracing Pallas kernels).  inline=True
+    # splices the jaxpr into the caller: no call boundary in the lowered
+    # HLO, XLA fusion unaffected.
+    return jax.jit(run, inline=True)
 
 
 def _flat6(el):
