@@ -46,7 +46,7 @@ def main():
     wit = square_chain_witness(k, 0xABCDEF, r=m.Fr.q)
 
     prover = Groth16Prover(curve=args.curve)
-    pk = pkey
+    pk = pkey  # rebound to the parsed ProvingKey after the first prove
 
     # ---- host: witness marshal ----
     t0 = time.time()
@@ -72,6 +72,9 @@ def main():
     print(f"tunnel read latency:         {read_latency()*1e3:8.1f} ms")
 
     # ---- device stages in isolation (programs are now warm) ----
+    from wasmsnark_tpu.groth16.pkey import ProvingKey
+    if not isinstance(pk, ProvingKey):
+        pk = prover._pk_cache[id(pkey)][1]
     dev = getattr(pk, "_device_points")
     n_pad = dev["n_pad"]
     sig_dev = jnp.asarray(signals)
@@ -118,7 +121,8 @@ def main():
     # ---- host: readback + assembly ----
     outs = all6()
     t0 = time.time()
-    pts = [prover._g1_host(outs[1]), prover._g1_host(outs[2])]
+    pts = [prover._g1_host(outs[0]), prover._g1_host(outs[1])]
+    del pts
     t_read = time.time() - t0
     print(f"readback 2 G1 points (host): {t_read*1e3:8.1f} ms")
     resid = steady - t_all
