@@ -321,18 +321,25 @@ def bench_mnt_verify(out):
     t0 = time.time()
     ok_host = rt.verify_sync(tv["verificationKey"], tv["input"], tv["proof"])
     out["mnt_verify_host_seconds"] = round(time.time() - t0, 2)
-    B = int(os.environ.get("BENCH_MNT_BATCH", "8"))
+    B = int(os.environ.get("BENCH_MNT_BATCH", "16"))
+    # one tampered lane (a.x limb flipped) must REJECT while the rest
+    # accept — the device path must discriminate, not rubber-stamp
+    bad = _json.loads(_json.dumps(tv["proof"]))
+    bad["a"]["x"][2][0] ^= 1
+    proofs = [tv["proof"]] * (B - 1) + [bad]
     t0 = time.time()
     got = rt.bowe_gabizon_verify_batch(
-        tv["verificationKey"], [tv["input"]] * B, [tv["proof"]] * B)
+        tv["verificationKey"], [tv["input"]] * B, proofs)
     out["mnt_verify_device_compile_seconds"] = round(time.time() - t0, 1)
     t0 = time.time()
     got = rt.bowe_gabizon_verify_batch(
-        tv["verificationKey"], [tv["input"]] * B, [tv["proof"]] * B)
+        tv["verificationKey"], [tv["input"]] * B, proofs)
     dt = time.time() - t0
     out[f"mnt_verify_device_batch{B}_seconds"] = round(dt, 2)
     out["mnt_verify_device_per_proof_seconds"] = round(dt / B, 3)
-    out["mnt_verify_ok"] = bool(ok_host and all(got))
+    out["mnt_verify_tampered_rejected"] = bool(not got[-1])
+    out["mnt_verify_ok"] = bool(
+        ok_host and all(got[:-1]) and not got[-1])
     return out["mnt_verify_ok"]
 
 
