@@ -156,11 +156,14 @@ def bench_ntt(out):
         rng.integers(0, 1 << 16, size=(m.fr_spec.n_limbs, 1 << bits),
                      dtype=np.uint32))
     from wasmsnark_tpu.utils.chiptime import sync
-    fwd = jax.jit(ntt.fft)
+    # plan as a runtime input: baked-constant twiddles at 2^22+ serialize
+    # to hundreds of MB of MLIR (HTTP 413 on the remote-compile tunnel)
+    plan = jax.device_put(ntt.plan(bits))
+    fwd = jax.jit(lambda a, p: ntt.fft(a, plan=p))
     t0 = time.time()
-    sync(fwd(x))
+    sync(fwd(x, plan))
     compile_t = time.time() - t0
-    dt = _time_reps(lambda: fwd(x))
+    dt = _time_reps(lambda: fwd(x, plan))
     out.update({
         f"ntt_2^{bits}_seconds": round(dt, 4),
         "ntt_compile_seconds": round(compile_t, 1),

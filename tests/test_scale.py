@@ -93,5 +93,10 @@ def test_ntt_2pow22_domain_sharded_roundtrip():
     x = rng.integers(0, 1 << 16, size=(Fr.L, n), dtype=np.uint32)
     x[-1] &= 0x0FFF
     xd = jax.device_put(jnp.asarray(x), sh)
-    y = jax.jit(lambda a: ntt.ifft(ntt.fft(a)), out_shardings=sh)(xd)
+    # plans as runtime inputs (baked twiddle constants at 2^22 bloat the
+    # serialized program past transport/constant-folding limits)
+    pf = jax.device_put(ntt.plan(22))
+    pi = jax.device_put(ntt.plan(22, inverse=True))
+    y = jax.jit(lambda a, f, i: ntt.ifft(ntt.fft(a, plan=f), plan=i),
+                out_shardings=sh)(xd, pf, pi)
     assert bool(jnp.array_equal(jnp.asarray(x), Fr.cond_sub_q(y)))
