@@ -46,6 +46,15 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu") \
     flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
 os.environ["XLA_FLAGS"] = flags
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # The axon sitecustomize registers AND config-pins the tunneled TPU at
+    # interpreter start (before conftest can run), so the env pop above is
+    # not enough on axon-tunnel machines: jax.config wins over JAX_PLATFORMS.
+    # Re-assert cpu through the config — this must happen before the first
+    # backend init, which is why jax is imported right here.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import random  # noqa: E402
 
 import pytest  # noqa: E402

@@ -26,15 +26,28 @@ import os
 import sys
 import time
 
-# must precede any jax import: virtual 8-device CPU platform
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers + pins the tunneled TPU at interpreter
+# start whenever PALLAS_AXON_POOL_IPS is set — in-process env edits come
+# too late (JAX_PLATFORMS=cpu is ignored and, worse, timings become
+# dispatch-only lies on the async tunnel).  Re-exec once with a cleaned
+# environment, exactly like __graft_entry__.dryrun_multichip.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS")
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags += " --xla_force_host_platform_device_count=8"
+    if "xla_cpu_max_isa" not in flags:
+        flags += " --xla_cpu_max_isa=AVX2"
+    env["XLA_FLAGS"] = flags.strip()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    flags += " --xla_force_host_platform_device_count=8"
-if "xla_cpu_max_isa" not in flags:
-    flags += " --xla_cpu_max_isa=AVX2"
-os.environ["XLA_FLAGS"] = flags.strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
