@@ -22,11 +22,26 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# same env as the driver's dryrun: CPU backend, 8 virtual devices, and the
-# ISA cap that keeps persistent-cache entries loadable (see __graft_entry__)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-if os.environ["JAX_PLATFORMS"].startswith("cpu"):
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Same env as the driver's dryrun: CPU backend, 8 virtual devices, and the
+# ISA cap that keeps persistent-cache entries loadable (see __graft_entry__).
+# On axon-tunnel machines the sitecustomize registers AND config-pins the
+# TPU at interpreter start, so in-process env edits are ignored — re-exec
+# once with a cleaned environment (otherwise the bundle is built with
+# platform=axon and the CPU dryrun rejects it, silently re-tracing: the
+# round-4 MULTICHIP 3m37s recompile).
+if os.environ.get("PALLAS_AXON_POOL_IPS") \
+        or os.environ.get("JAX_PLATFORMS", "cpu") != "cpu":
+    _env = dict(os.environ)
+    _env.pop("PALLAS_AXON_POOL_IPS", None)
+    _env["JAX_PLATFORMS"] = "cpu"
+    _flags = _env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_max_isa" not in _flags:
+        _flags = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+    _env["XLA_FLAGS"] = _flags
+    os.execve(sys.executable, [sys.executable] + sys.argv, _env)
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
