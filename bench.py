@@ -389,8 +389,9 @@ def _snapshot(out, ok):
 
 def _deadline_left():
     """Seconds remaining in the global bench budget (BENCH_DEADLINE_S,
-    default 480 — under the driver's kill timeout)."""
-    return float(os.environ.get("BENCH_DEADLINE_S", "480")) - (time.time() - _T0)
+    default 520 — under the driver's kill timeout; the evidence-first
+    section order means a kill never loses already-printed numbers)."""
+    return float(os.environ.get("BENCH_DEADLINE_S", "520")) - (time.time() - _T0)
 
 
 def main():
@@ -422,7 +423,7 @@ def main():
             ("msm", "BENCH_SKIP_MSM", 60,
              lambda o: bench_msm(o, snap=lambda: _snapshot(o, ok))),
             ("ntt", "BENCH_SKIP_NTT", 60, bench_ntt),
-            ("prove", "BENCH_SKIP_PROVE", 200, bench_prove),
+            ("prove", "BENCH_SKIP_PROVE", 230, bench_prove),
         ]
         for name, skip_env, est_s, fn in sections:
             if os.environ.get(skip_env):

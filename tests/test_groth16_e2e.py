@@ -136,7 +136,10 @@ def test_groth16_verify_batch_device(rt):
     assert got == [True]
 
 
-@pytest.mark.skipif(not os.path.exists(REF), reason="reference not mounted")
+@pytest.mark.skipif(
+    os.environ.get("WASMSNARK_TPU_SLOW_TESTS") != "1"
+    or not os.path.exists(REF),
+    reason="173 s of trace/compile on a 1-vCPU box (r5 tier timing)")
 def test_groth16_verify_batch_program_traces():
     """Fast tier: the batched device-verification program (prepared pi_b
     ladder + per-vk fixed-G2 prepared coefficients + 4-pair product + final

@@ -153,7 +153,7 @@ def test_bowe_gabizon_device_verifier_testvectors(fused):
     assert got == [True, False]
 
 
-@pytest.mark.skipif(not os.path.exists(REF_DATA),
+@pytest.mark.skipif(not SLOW or not os.path.exists(REF_DATA),
                     reason="reference data unavailable")
 def test_bowe_gabizon_device_program_traces():
     """Fast tier: the COMPOSED device verifier program (groupMap + prepared
